@@ -1,0 +1,82 @@
+"""Framework configuration.
+
+TPU-native analog of the reference's two-TOML config system
+(``hw/VX_config.toml`` arch knobs + ``hw/VX_types.toml`` address map, compiled
+by ``ci/gen_config.py``).  Knob names mirror the reference where a concept
+carries over (RT_BVH_WIDTH / RT_STACK_SIZE / trail depth / lanes / queue
+capacity, ``hw/VX_config.toml:244-247``, ``sim/simx/rt_traversal.h:9-10``);
+GPU-only knobs (warps, cache geometry) are replaced by TPU-shaped ones
+(ray-batch lanes, tile size, wave count, mesh axes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+# Sentinel "no hit" distance; reference uses LARGE_FLOAT
+# (tests/regression/raytracing/geometry.h ray_t.dist init).
+LARGE_FLOAT = 1e30
+
+# Moller-Trumbore epsilon, matching the reference exactly
+# (sim/simx/rt_traversal.cpp:263-316 EPSILON 1e-6).
+MT_EPSILON = 1e-6
+
+# Shader/work types, matching RTUnit's ShaderType enum order
+# (sim/simx/rt_unit.cpp:10 ShaderType{MISS, CLOSET, INTERSECTION, ANY}).
+SHADER_MISS = 0
+SHADER_CLOSEST = 1
+SHADER_INTERSECTION = 2  # reserved (procedural prims), unused by reference apps
+SHADER_ANY = 3
+NUM_SHADER_TYPES = 4
+
+# Commit actions, matching VX_RT_COMMIT_* (hw/VX_types.toml:270-285 and
+# sim/simx/rt_unit.cpp:190-213 semantics).
+COMMIT_CONT = 0    # reject pending hit, resume traversal
+COMMIT_ACCEPT = 1  # accept pending hit (dist = pending_dist), resume traversal
+COMMIT_TERM = 2    # terminate ray, free all per-ray state
+
+
+@dataclasses.dataclass(frozen=True)
+class RTConfig:
+    """All static knobs of the tracer.  Frozen so it can key jit caches."""
+
+    # ---- acceleration structure (reference hw/VX_config.toml:244-247) ----
+    bvh_width: int = 4          # RT_BVH_WIDTH: children per wide-BVH node
+    stack_size: int = 5         # RT_STACK_SIZE: short-stack entries per ray
+    max_trail: int = 32         # MAX_TRAIL_LEVEL (sim/simx/rt_traversal.h:9)
+    sah_bins: int = 8           # BINS in binned SAH build (bvh.cpp:135-191)
+    max_leaf_tris: int = 4      # leaf size target for the binary BVH
+
+    # ---- wavefront engine (RTU analog) ----
+    lanes: int = 256            # rays per dense batch (NUM_RTU_LANES analog,
+                                # sized for the 8x128 VPU rather than SIMD_WIDTH)
+    queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
+    trav_chunk: int = 64        # traversal steps between shader-regroup points
+    max_waves: int = 64         # upper bound on regroup iterations per frame
+
+    # ---- render parameters (kernel_arg_t analog, raytracing/common.h:164) ----
+    width: int = 256
+    height: int = 256
+    spp: int = 1
+    max_depth: int = 2          # bounce budget (reference -d flag)
+    tile_w: int = 8             # pixel tile (kernel.cpp:128-133 8x8 blocks)
+    tile_h: int = 8
+
+    # ---- numerics ----
+    epsilon: float = MT_EPSILON
+    t_max: float = LARGE_FLOAT
+
+    # ---- multi-chip ----
+    mesh_axes: Tuple[str, ...] = ("tiles",)
+
+    def replace(self, **kw: Any) -> "RTConfig":
+        return dataclasses.replace(self, **kw)
+
+    def as_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def from_overrides(base: Optional[RTConfig] = None, **kw: Any) -> RTConfig:
+    """CONFIGS="-DNAME=val"-style overrides (ci/gen_config.py analog)."""
+    return (base or RTConfig()).replace(**kw)
