@@ -1,0 +1,233 @@
+"""Golden CPU renderer (NumPy) — the fidelity oracle.
+
+Capability match for the reference's ``raycast -c`` CPU mode
+(tests/regression/raycast/tracer.cpp:226-263 runs the identical Trace()
+on the host), which is the repo's only numeric ground truth for RT output.
+This module reproduces, vectorized over all rays at once:
+
+* GenerateRay pixel->viewplane->world mapping (raycast/render.h:190-208)
+* closest-hit search — here by *brute force* over every (instance, triangle)
+  pair, which is a strictly stronger oracle than the reference's BVH-based
+  host loop: any BVH disagreement is a traversal bug by construction
+* Moller-Trumbore with the reference's exact conventions
+  (sim/simx/rt_traversal.cpp:263-316: EPSILON=1e-6, |a|<eps reject,
+  w1 in [0,1], w1+w2<=1, t>eps; bx=w1, by=w2, bz=1-w1-w2)
+* the Trace() bounce loop with diffuse lighting, point-sampled textures,
+  and reflectivity bounces (raycast/render.h:210-276, shaders/closest.cpp)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vortex_rt_tpu.models.scene import Camera, RenderParams, SceneBuffers
+from vortex_rt_tpu.utils import vecmath as vm
+from vortex_rt_tpu.utils.config import LARGE_FLOAT, MT_EPSILON
+
+
+def moller_trumbore_np(o, d, v0, v1, v2, eps: float = MT_EPSILON):
+    """Vectorized MT over broadcastable ray (..., 3) x tri (..., 3) arrays.
+
+    Returns (t, w1, w2) with t = LARGE_FLOAT where there is no hit.
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    h = vm.cross(d, e2)
+    a = vm.dot(e1, h)
+    f = 1.0 / np.where(np.abs(a) < eps, 1.0, a)  # guarded reciprocal
+    s = o - v0
+    w1 = f * vm.dot(s, h)
+    q = vm.cross(s, e1)
+    w2 = f * vm.dot(d, q)
+    t = f * vm.dot(e2, q)
+    ok = (
+        (np.abs(a) >= eps)
+        & (w1 >= 0.0) & (w1 <= 1.0)
+        & (w2 >= 0.0) & (w1 + w2 <= 1.0)
+        & (t > eps)
+    )
+    return np.where(ok, t, LARGE_FLOAT), w1, w2
+
+
+def brute_force_hits(o: np.ndarray, d: np.ndarray, sb: SceneBuffers,
+                     chunk: int = 4096):
+    """Closest hit per ray over every instance x triangle.
+
+    o, d: (R, 3).  Returns dict of (R,) arrays:
+    dist, bx, by, bz, tri (global id), inst.  Matches ray_hit_t fields
+    (common.h:48-54).  Ties break toward the earlier (instance, triangle),
+    matching the strict '<' update in the reference traversal.
+    """
+    r = o.shape[0]
+    best_t = np.full(r, LARGE_FLOAT, np.float32)
+    best = {
+        "bx": np.zeros(r, np.float32), "by": np.zeros(r, np.float32),
+        "tri": np.zeros(r, np.int32), "inst": np.zeros(r, np.int32),
+    }
+    for inst in range(sb.num_instances):
+        inv = sb.inst_inv_transform[inst]
+        lo = vm.transform_point(inv, o)  # (R, 3) local-space origin
+        ld = vm.transform_vector(inv, d)  # unnormalized: preserves t parameter
+        root = int(sb.inst_bvh_root[inst])
+        tri_ids = np.sort(_tris_under(sb, root))
+        for s in range(0, tri_ids.size, chunk):
+            ids = tri_ids[s : s + chunk]
+            t, w1, w2 = moller_trumbore_np(
+                lo[:, None, :], ld[:, None, :],
+                sb.v0[ids][None], sb.v1[ids][None], sb.v2[ids][None],
+            )
+            k = np.argmin(t, axis=1)
+            tk = t[np.arange(r), k]
+            upd = tk < best_t
+            best_t = np.where(upd, tk, best_t)
+            best["bx"] = np.where(upd, w1[np.arange(r), k], best["bx"])
+            best["by"] = np.where(upd, w2[np.arange(r), k], best["by"])
+            best["tri"] = np.where(upd, ids[k].astype(np.int32), best["tri"])
+            best["inst"] = np.where(upd, np.int32(inst), best["inst"])
+    return {
+        "dist": best_t,
+        "bx": best["bx"],
+        "by": best["by"],
+        "bz": 1.0 - best["bx"] - best["by"],
+        "tri": best["tri"],
+        "inst": best["inst"],
+    }
+
+
+def _tris_under(sb: SceneBuffers, root: int) -> np.ndarray:
+    """All global triangle ids in the BVH rooted at ``root``."""
+    out, stack = [], [root]
+    while stack:
+        n = stack.pop()
+        if sb.bvh_count[n] > 0:
+            lo = int(sb.bvh_left[n])
+            out.append(sb.bvh_tri_idx[lo : lo + int(sb.bvh_count[n])])
+        else:
+            stack += [int(sb.bvh_left[n]), int(sb.bvh_left[n]) + 1]
+    return np.concatenate(out) if out else np.zeros(0, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Shading (raycast/render.h + rtx_shading.h semantics)
+# ---------------------------------------------------------------------------
+
+def rgb8_to_rgb32f(texel: np.ndarray) -> np.ndarray:
+    """0xRRGGBB uint32 -> float3, scale 1/256 (common.h RGB8toRGB32F)."""
+    s = 1.0 / 256.0
+    r = ((texel >> 16) & 255).astype(np.float32)
+    g = ((texel >> 8) & 255).astype(np.float32)
+    b = (texel & 255).astype(np.float32)
+    return np.stack([r, g, b], axis=-1) * s
+
+
+def tex_sample_np(uv: np.ndarray, sb: SceneBuffers, mat: np.ndarray) -> np.ndarray:
+    """Point-sampled, wrap-addressed texel fetch (rtx_shading.h texSample)."""
+    w = sb.mat_tex_w[mat]
+    h = sb.mat_tex_h[mat]
+    off = sb.mat_tex_offset[mat]
+    has = off >= 0
+    ws = np.maximum(w, 1)
+    hs = np.maximum(h, 1)
+    iu = np.floor(uv[..., 0] * ws).astype(np.int64) % ws
+    iv = np.floor(uv[..., 1] * hs).astype(np.int64) % hs
+    idx = np.where(has, off + iu + iv * ws, 0)
+    tex = rgb8_to_rgb32f(sb.texels[idx])
+    return np.where(has[..., None], tex, sb.mat_diffuse[mat])
+
+
+def diffuse_lighting_np(p, n, diffuse_color, ambient, light_color, light_pos):
+    """rtx_shading.h diffuseLighting: attenuated N.L with ambient term."""
+    l = light_pos - p
+    dist = vm.length(l)
+    l = l / np.maximum(dist, 1e-20)[..., None]
+    att = 1.0 / (1.0 + dist * 0.1)
+    ndotl = np.maximum(0.0, vm.dot(n, l))
+    return diffuse_color * (ambient + att[..., None] * light_color * ndotl[..., None])
+
+
+def generate_rays(cam: Camera, width: int, height: int):
+    """Per-pixel primary rays (raycast/render.h:190-208 GenerateRay)."""
+    x = np.arange(width, dtype=np.float32)
+    y = np.arange(height, dtype=np.float32)
+    xx, yy = np.meshgrid(x, y)  # (H, W)
+    x_ndc = (xx + 0.5) / width - 0.5
+    y_ndc = (yy + 0.5) / height - 0.5
+    pt_cam = (
+        (x_ndc * cam.viewplane[0])[..., None] * cam.right
+        + (y_ndc * cam.viewplane[1])[..., None] * cam.up
+        + cam.forward
+    )
+    d = np.asarray(vm.normalize(pt_cam), np.float32)
+    o = np.broadcast_to(cam.pos, d.shape).astype(np.float32)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def shade_hits(o, d, hits, sb: SceneBuffers, params: RenderParams):
+    """One bounce of the Trace() loop body on arrays of rays with hit info.
+
+    Returns (diffuse_contrib (R,3), reflectivity (R,), hit_mask (R,),
+    new_o, new_d) — the caller owns radiance/throughput accumulation.
+    """
+    hit = hits["dist"] < LARGE_FLOAT
+    tri = hits["tri"]
+    inst = hits["inst"]
+    bx, by, bz = hits["bx"], hits["by"], hits["bz"]
+
+    # clamp miss-lane distances: their results are discarded, avoid inf/nan
+    p = o + d * np.minimum(hits["dist"], 1e18)[..., None]
+    # N = N1*bx + N2*by + N0*bz (closest.cpp / render.h convention)
+    n = (sb.n1[tri] * bx[..., None] + sb.n2[tri] * by[..., None]
+         + sb.n0[tri] * bz[..., None])
+    # normals transform by inverse-transpose of the instance transform
+    inv_t = sb.inst_inv_transpose[inst]  # (R, 4, 4)
+    n = np.einsum("rij,rj->ri", inv_t[:, :3, :3], n)
+    n = np.asarray(vm.normalize(n), np.float32)
+
+    uv = (sb.uv1[tri] * bx[..., None] + sb.uv2[tri] * by[..., None]
+          + sb.uv0[tri] * bz[..., None])
+    mat = sb.mat_id[tri]
+    tex_color = tex_sample_np(uv, sb, mat)
+    diffuse = diffuse_lighting_np(
+        p, n, tex_color,
+        np.asarray(params.ambient_color, np.float32),
+        np.asarray(params.light_color, np.float32),
+        np.asarray(params.light_pos, np.float32),
+    )
+    refl = sb.inst_reflectivity[inst]
+    r = np.asarray(vm.normalize(vm.reflect(d, n)), np.float32)
+    new_o = p + r * 1e-3
+    return diffuse, refl, hit, new_o, r
+
+
+def render_golden(sb: SceneBuffers, cam: Camera, params: RenderParams,
+                  width: int, height: int) -> np.ndarray:
+    """Full golden render: (H, W, 3) float32 radiance in [0, inf)."""
+    o, d = generate_rays(cam, width, height)
+    r = o.shape[0]
+    radiance = np.zeros((r, 3), np.float32)
+    throughput = np.ones(r, np.float32)
+    active = np.ones(r, bool)
+    background = np.asarray(params.background_color, np.float32)
+
+    for bounce in range(params.max_depth):
+        if not active.any():
+            break
+        hits = brute_force_hits(o, d, sb)
+        diffuse, refl, hit, new_o, new_d = shade_hits(o, d, hits, sb, params)
+
+        miss_now = active & ~hit
+        radiance[miss_now] += throughput[miss_now, None] * background
+
+        h = active & hit
+        radiance[h] += (throughput[h] * (1.0 - refl[h]))[:, None] * diffuse[h]
+        throughput[h] *= refl[h]
+
+        bounce_more = h & (refl > 0.0) & (bounce + 1 < params.max_depth)
+        stop = h & ~bounce_more
+        radiance[stop] += throughput[stop, None] * background
+
+        active = bounce_more
+        o = np.where(active[:, None], new_o, o)
+        d = np.where(active[:, None], new_d, d)
+
+    return radiance.reshape(height, width, 3)
