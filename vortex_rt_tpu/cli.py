@@ -1,0 +1,98 @@
+"""Command-line renderer.
+
+Mirrors the reference app CLI (tests/regression/raytracing/main.cpp:49-102):
+``-m model -w width -h height -s spp -d depth -c (cpu golden) -o output``.
+``-m`` accepts an .obj path or a builtin procedural scene name
+(cornell / sphere / soup).  ``-c`` runs the NumPy golden renderer instead of
+the device path — the raycast ``-c`` analog.
+
+Usage:  python -m vortex_rt_tpu.cli -m cornell -w 256 -h 256 -o out.ppm
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene(model: str):
+    from vortex_rt_tpu.models.procedural import cornell_box, random_soup, uv_sphere
+    from vortex_rt_tpu.models.scene import Scene
+
+    sc = Scene()
+    if model == "cornell":
+        for mesh, refl in cornell_box():
+            i = sc.add_mesh(mesh)
+            sc.add_instance(i, reflectivity=refl)
+    elif model == "sphere":
+        sc.add_mesh(uv_sphere((0, 0, 0), 1.0, 24, 48))
+    elif model == "soup":
+        sc.add_mesh(random_soup(np.random.default_rng(0), 2000))
+    elif model.endswith(".obj"):
+        from vortex_rt_tpu.io.obj import load_obj_scene
+
+        load_obj_scene(model, sc)
+    else:
+        raise SystemExit(f"unknown model {model!r}")
+    return sc
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-m", "--model", default="cornell")
+    ap.add_argument("-w", "--width", type=int, default=256)
+    ap.add_argument("-H", "--height", type=int, default=256)
+    ap.add_argument("-s", "--spp", type=int, default=1)
+    ap.add_argument("-d", "--depth", type=int, default=2)
+    ap.add_argument("-c", "--cpu", action="store_true",
+                    help="render with the NumPy golden path (oracle)")
+    ap.add_argument("-o", "--output", default="output.ppm")
+    ap.add_argument("--vfov", type=float, default=45.0)
+    ap.add_argument("--engine", choices=("megakernel", "wavefront"),
+                    default="megakernel")
+    ap.add_argument("--perf", action="store_true", help="print perf counters")
+    args = ap.parse_args(argv)
+    for name in ("width", "height", "spp", "depth"):
+        if getattr(args, name) < 1:
+            ap.error(f"--{name} must be >= 1")
+
+    from vortex_rt_tpu.models.scene import RenderParams, Scene
+    from vortex_rt_tpu.utils.image import write_ppm
+
+    sc = build_scene(args.model)
+    sb = sc.build()
+    aspect = args.width / args.height
+    cam = Scene.framing_camera(sb, args.vfov, aspect, zoom=1.0)
+    params = RenderParams(spp=args.spp, max_depth=args.depth)
+
+    t0 = time.perf_counter()
+    if args.cpu:
+        from vortex_rt_tpu.golden.renderer import render_golden
+
+        img = render_golden(sb, cam, params, args.width, args.height)
+        nrays = args.width * args.height * args.depth
+    else:
+        if args.engine == "megakernel":
+            from vortex_rt_tpu.engine.megakernel import MegakernelRenderer
+
+            r = MegakernelRenderer.from_buffers(sb)
+        else:
+            from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+
+            r = WavefrontRenderer.from_buffers(sb)
+        img, nrays = r.render(cam, params, args.width, args.height)
+    dt = time.perf_counter() - t0
+
+    write_ppm(args.output, np.clip(img, 0, 1))
+    mrays = nrays / dt / 1e6
+    print(f"rendered {args.width}x{args.height} spp={args.spp} depth={args.depth} "
+          f"model={args.model} engine={'cpu' if args.cpu else args.engine}: "
+          f"{dt*1e3:.1f} ms, {nrays} rays, {mrays:.2f} Mrays/s -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -200,9 +200,17 @@ def shade_hits(o, d, hits, sb: SceneBuffers, params: RenderParams):
 
 
 def render_golden(sb: SceneBuffers, cam: Camera, params: RenderParams,
-                  width: int, height: int) -> np.ndarray:
-    """Full golden render: (H, W, 3) float32 radiance in [0, inf)."""
-    o, d = generate_rays(cam, width, height)
+                  width: int, height: int, rays=None) -> np.ndarray:
+    """Full golden render: (H, W, 3) float32 radiance in [0, inf).
+
+    ``rays``: optional (o, d) override so callers can compare against a
+    device render on bit-identical ray inputs (exact-tie seam pixels flip
+    with last-ULP direction changes; see tests/test_megakernel.py).
+    """
+    if rays is None:
+        o, d = generate_rays(cam, width, height)
+    else:
+        o, d = (np.asarray(a, np.float32) for a in rays)
     r = o.shape[0]
     radiance = np.zeros((r, 3), np.float32)
     throughput = np.ones(r, np.float32)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Tuple
 
+import jax
 import numpy as np
 
 from vortex_rt_tpu.accel.bvh2 import BVH2, build_bvh2, build_bvh2_aabbs
@@ -163,6 +164,7 @@ class RenderParams:
 # Packed scene
 # ---------------------------------------------------------------------------
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SceneBuffers:
     """kernel_arg_t analog: every array the device render step consumes.

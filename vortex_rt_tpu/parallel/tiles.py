@@ -1,0 +1,133 @@
+"""Multi-chip tile-parallel rendering (jax.sharding + shard_map).
+
+The reference scales by mapping 8x8 pixel tiles onto GPU cores
+(kernel.cpp:128-133 vx_spawn_threads grid; multi-core/cluster scaling via
+VX_config NUM_CORES/NUM_CLUSTERS).  The TPU-native analog shards image row
+blocks across a device Mesh over ICI:
+
+* scene + BVH are replicated per chip (HBM-resident, spec P());
+* each device generates and traces only its rows (data-parallel rays);
+* per-device ray counters are reduced with a real ``psum`` collective so the
+  step exercises ICI even in the dry run;
+* the framebuffer materializes sharded (out_spec P("tiles")) — XLA inserts
+  the gather only if the host pulls the full image.
+
+This is the "dp" axis of the framework.  Scene sharding for >HBM scenes
+(the "sp" analog) is future work tracked in SURVEY.md section 7.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vortex_rt_tpu.engine.megakernel import (
+    CameraArrays, LightArrays, trace_wave,
+)
+from vortex_rt_tpu.models.scene import Camera, RenderParams, SceneBuffers
+from vortex_rt_tpu.ops.traverse2 import TraversalArrays
+
+
+def rays_for_rows(cam: CameraArrays, width: int, height: int,
+                  rows: jnp.ndarray):
+    """Primary rays for a row subset: rows (h,) global row indices."""
+    x = jnp.arange(width, dtype=jnp.float32)
+    xx, yy = jnp.meshgrid(x, rows.astype(jnp.float32))
+    x_ndc = (xx + 0.5) / width - 0.5
+    y_ndc = (yy + 0.5) / height - 0.5
+    pt = ((x_ndc * cam.viewplane[0])[..., None] * cam.right
+          + (y_ndc * cam.viewplane[1])[..., None] * cam.up
+          + cam.forward)
+    d = pt / jnp.sqrt((pt * pt).sum(-1, keepdims=True))
+    o = jnp.broadcast_to(cam.pos, d.shape)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def make_tiled_renderer(mesh: Mesh, width: int, height: int,
+                        max_depth: int = 2, axis: str = "tiles"):
+    """Build a jitted SPMD render step over ``mesh``.
+
+    Returns step(ta, sb, cam, light) -> ((H, W, 3) image, total_rays).
+    height must divide evenly by the mesh axis size.
+    """
+    n = mesh.shape[axis]
+    assert height % n == 0, f"height {height} not divisible by {n} devices"
+
+    def _tile_body(ta, sb, cam, light, rows):
+        o, d = rays_for_rows(cam, width, height, rows)
+        r = o.shape[0]
+        radiance = jnp.zeros((r, 3), jnp.float32)
+        throughput = jnp.ones(r, jnp.float32)
+        active = jnp.ones(r, bool)
+        rays_local = jnp.int32(0)
+        for bounce in range(max_depth):
+            rays_local = rays_local + active.sum(dtype=jnp.int32)
+            o, d, radiance, throughput, active, _ = trace_wave(
+                ta, sb, light, o, d, radiance, throughput, active,
+                bounce, max_depth)
+        img = radiance.reshape(height // n, width, 3)
+        # a real ICI collective: global ray count
+        total = jax.lax.psum(rays_local, axis)
+        return img, total
+
+    def step(ta, sb, cam, light):
+        rows = jnp.arange(height, dtype=jnp.int32)
+        shard = jax.shard_map(
+            _tile_body, mesh=mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P(), ta),
+                jax.tree.map(lambda _: P(), sb),
+                jax.tree.map(lambda _: P(), cam),
+                jax.tree.map(lambda _: P(), light),
+                P(axis),
+            ),
+            out_specs=(P(axis), P()),
+            # carries in the traversal while_loop mix device-varying ray
+            # state with replicated zeros; skip the varying-axis check
+            check_vma=False,
+        )
+        return shard(ta, sb, cam, light, rows)
+
+    return jax.jit(step)
+
+
+def render_tiled(sb_host: SceneBuffers, cam: Camera, params: RenderParams,
+                 width: int, height: int,
+                 mesh: Optional[Mesh] = None) -> Tuple[np.ndarray, int]:
+    """Convenience host API: replicate scene, render tiled, pull the image."""
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("tiles",))
+    ta = TraversalArrays.from_scene(sb_host)
+    step = make_tiled_renderer(mesh, width, height, params.max_depth)
+    img, total = step(ta, jax.tree.map(jnp.asarray, sb_host),
+                      CameraArrays.from_camera(cam),
+                      LightArrays.from_params(params))
+    return np.asarray(img), int(total)
+
+
+def dryrun(n_devices: int) -> None:
+    """Driver hook: full multi-chip render step on tiny shapes."""
+    devs = jax.devices()[:n_devices]
+    mesh = Mesh(np.array(devs), ("tiles",))
+
+    from vortex_rt_tpu.models.procedural import cornell_box
+    from vortex_rt_tpu.models.scene import Scene
+
+    sc = Scene()
+    for m, refl in cornell_box():
+        i = sc.add_mesh(m)
+        sc.add_instance(i, reflectivity=refl)
+    sb = sc.build()
+    cam = Scene.framing_camera(sb, 45.0, 1.0)
+    params = RenderParams(max_depth=2)
+    height = 4 * n_devices
+    img, total = render_tiled(sb, cam, params, width=8, height=height,
+                              mesh=mesh)
+    assert img.shape == (height, 8, 3), img.shape
+    assert np.isfinite(img).all()
+    assert total >= height * 8, total
