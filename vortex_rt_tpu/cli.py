@@ -52,7 +52,7 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--output", default="output.ppm")
     ap.add_argument("--vfov", type=float, default=45.0)
     ap.add_argument("--engine", choices=("megakernel", "wavefront"),
-                    default="megakernel")
+                    default="wavefront")
     ap.add_argument("--perf", action="store_true", help="print perf counters")
     args = ap.parse_args(argv)
     for name in ("width", "height", "spp", "depth"):

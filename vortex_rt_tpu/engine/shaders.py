@@ -1,0 +1,129 @@
+"""Shader binding table (SBT) analog: programmable batch shaders.
+
+The reference dispatches per-ray shaders through a table of function
+pointers uploaded as flat binaries (tracer.cpp:118-121 uploads miss/
+closest/anyhit to fixed VMAs; kernel.cpp:86-91 dispatches
+``sbt[type](rayID, arg)``).  The TPU-native equivalent is a table of
+JAX-traceable *batch* functions: each shader runs over the whole regrouped
+lane batch of its type at once — the dense-warp execution the reference's
+ShaderQueue regrouping works so hard to approximate, obtained for free.
+
+Shader signatures (all inputs/outputs are (R,) lanes):
+
+closest(ctx, sp, ray, payload) -> ClosestOut
+    ctx: ShaderContext (scene tables + lighting constants)
+    sp:  ops.shade_lanes.ShadePoint (every getAttr the reference exposes)
+    ray: RayLanes (origin/direction)
+    payload: PayloadLanes (throughput, bounce, pixel)
+miss(ctx, ray, payload) -> (add_r, add_g, add_b)   [terminates the ray]
+anyhit(ctx, sp, ray, payload) -> (R,) i32 commit action
+    (COMMIT_CONT / COMMIT_ACCEPT / COMMIT_TERM; None in the table means
+    auto-accept, the behavior of the reference's shipped anyhit shader)
+
+The default shaders below reproduce shaders/closest.cpp, shaders/miss.cpp
+and shaders/anyhit.cpp exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from vortex_rt_tpu.ops.shade_lanes import (
+    ShadeArrays, ShadePoint, diffuse_lighting_lanes, reflect_lanes,
+)
+from vortex_rt_tpu.utils.config import COMMIT_ACCEPT
+
+
+class ShaderContext(NamedTuple):
+    """kernel_arg_t analog handed to every shader (common.h:164-195)."""
+
+    shade: ShadeArrays
+    light_pos: jnp.ndarray      # (3,)
+    light_color: jnp.ndarray    # (3,)
+    ambient: jnp.ndarray        # (3,)
+    background: jnp.ndarray     # (3,)
+    max_depth: int
+
+
+class RayLanes(NamedTuple):
+    ox: jnp.ndarray; oy: jnp.ndarray; oz: jnp.ndarray
+    dx: jnp.ndarray; dy: jnp.ndarray; dz: jnp.ndarray
+
+
+class PayloadLanes(NamedTuple):
+    """ray_payload_t analog (shaders/shader.h)."""
+
+    throughput: jnp.ndarray  # (R,)
+    bounce: jnp.ndarray      # (R,) i32
+    pixel: jnp.ndarray       # (R,) i32
+
+
+class ClosestOut(NamedTuple):
+    """What a closest-hit shader contributes back to the engine."""
+
+    add_r: jnp.ndarray; add_g: jnp.ndarray; add_b: jnp.ndarray
+    throughput_mul: jnp.ndarray   # (R,) multiplier for surviving energy
+    spawn: jnp.ndarray            # (R,) bool: emit a secondary ray
+    sox: jnp.ndarray; soy: jnp.ndarray; soz: jnp.ndarray
+    sdx: jnp.ndarray; sdy: jnp.ndarray; sdz: jnp.ndarray
+
+
+def default_closest(ctx: ShaderContext, sp: ShadePoint, ray: RayLanes,
+                    payload: PayloadLanes) -> ClosestOut:
+    """shaders/closest.cpp semantics: attenuated diffuse + reflective
+    bounce, remaining throughput to the environment when not bouncing."""
+    dr, dg, db = diffuse_lighting_lanes(
+        sp, ctx.light_pos, ctx.light_color, ctx.ambient)
+    refl = sp.reflectivity
+    one_m = 1.0 - refl
+    spawn = (refl > 0.0) & (payload.bounce + 1 < ctx.max_depth)
+    # non-spawning rays dump remaining (post-reflectivity) energy into the
+    # background (closest.cpp:122-125 / render.h:268-271)
+    bg_r = jnp.where(spawn, 0.0, refl * ctx.background[0])
+    bg_g = jnp.where(spawn, 0.0, refl * ctx.background[1])
+    bg_b = jnp.where(spawn, 0.0, refl * ctx.background[2])
+    rx, ry, rz = reflect_lanes(ray.dx, ray.dy, ray.dz, sp.nx, sp.ny, sp.nz)
+    return ClosestOut(
+        add_r=one_m * dr + bg_r,
+        add_g=one_m * dg + bg_g,
+        add_b=one_m * db + bg_b,
+        throughput_mul=refl,
+        spawn=spawn,
+        sox=sp.px + rx * 1e-3, soy=sp.py + ry * 1e-3, soz=sp.pz + rz * 1e-3,
+        sdx=rx, sdy=ry, sdz=rz,
+    )
+
+
+def default_miss(ctx: ShaderContext, ray: RayLanes, payload: PayloadLanes):
+    """shaders/miss.cpp: payload color = background, terminate."""
+    r = jnp.ones_like(ray.dx)
+    return (ctx.background[0] * r, ctx.background[1] * r,
+            ctx.background[2] * r)
+
+
+def alpha_test_anyhit(threshold: float = 0.5):
+    """shaders/anyhit.cpp: alpha-test stub (alpha hardcoded 1.0 there, so
+    it always ACCEPTs).  Provided as a template for custom any-hit."""
+
+    def shader(ctx: ShaderContext, sp: ShadePoint, ray: RayLanes,
+               payload: PayloadLanes):
+        alpha = jnp.ones_like(sp.u)
+        return jnp.where(alpha < threshold,
+                         jnp.int32(0),   # COMMIT_CONT (reject)
+                         jnp.int32(COMMIT_ACCEPT)).astype(jnp.int32)
+
+    return shader
+
+
+@dataclasses.dataclass(frozen=True)
+class ShaderTable:
+    """The SBT.  ``anyhit=None`` keeps the engine on the auto-accept fast
+    path (no suspension round-trips), exactly equivalent to the shipped
+    always-accept shader."""
+
+    closest: Callable = default_closest
+    miss: Callable = default_miss
+    anyhit: Optional[Callable] = None

@@ -1,0 +1,461 @@
+"""Wavefront render engine — the RT unit + shader-queue analog.
+
+This is the flagship renderer.  The reference implements wavefront
+scheduling in hardware: the RTU traverses rays, parks completions in
+per-shader-type queues, and ``getWork`` repacks divergent continuations
+into dense warps (rt_unit.cpp:98-161, the design's centerpiece — SURVEY.md
+section 2.7 item 3).  The TPU-native equivalent:
+
+* the ray pool IS the framebuffer-ordered SoA batch; one pool slot per
+  (pixel, sample) carries the payload (ray_payload_t analog: throughput /
+  bounce / pixel);
+* traversal runs in fixed 4096-ray chunks (``lax.map`` over the pool) —
+  the measured fast-path batch size for the traversal step (see
+  ops.traverse_wide);
+* shader-queue regrouping becomes *compaction*: between bounces the pool
+  is partitioned alive-first (one stable sort + per-lane gathers), so
+  later bounces run dense chunks and dead chunks exit their traversal
+  loop immediately — the ShaderQueue pop_warp effect;
+* shaders are batch functions from the ShaderTable (engine.shaders); the
+  miss/closest shaders of every ray in the wave run as two dense vector
+  stages instead of per-warp indirect calls;
+* any-hit, when registered, runs in the reference's suspension protocol:
+  the chunk traversal pauses on each strictly-closer intersection, the
+  any-hit batch shader produces CONT/ACCEPT/TERM actions, commit() applies
+  them, traversal resumes (rt_unit ANY queue + commit, rt_unit.cpp:190-213).
+
+The whole frame (spp samples x max_depth bounces) is ONE jit program; spp
+is folded into the pool (R = w*h*spp) and resolved with a grouped reshape
+at the end, so no Python-level loop scales with sample count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vortex_rt_tpu.engine.megakernel import CameraArrays, LightArrays
+from vortex_rt_tpu.engine.shaders import (
+    PayloadLanes, RayLanes, ShaderContext, ShaderTable,
+)
+from vortex_rt_tpu.models.scene import (
+    Camera, RenderParams, Scene, SceneBuffers,
+)
+from vortex_rt_tpu.ops.shade_lanes import ShadeArrays, shade_point
+from vortex_rt_tpu.ops.traverse2 import Hits
+from vortex_rt_tpu.ops.traverse_wide import (
+    WideArrays, commit, init_state_lanes, trace_lanes,
+)
+from vortex_rt_tpu.utils.config import COMMIT_CONT, LARGE_FLOAT, RTConfig
+
+
+def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
+                  key) -> Tuple[jnp.ndarray, ...]:
+    """Primary rays for the pool: R = w*h*spp lanes, pixel-major.
+
+    Sample 0 uses the reference's pixel center (+0.5); further samples are
+    stratified-jittered (GenerateRay, raycast/render.h:190-208).
+    """
+    n_pix = width * height
+    r = n_pix * spp
+    pix = jnp.arange(r, dtype=jnp.int32) // spp
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+    if spp == 1:
+        jx = jy = 0.5
+    else:
+        u = jax.random.uniform(key, (r, 2))
+        first = (jnp.arange(r, dtype=jnp.int32) % spp) == 0
+        jx = jnp.where(first, 0.5, u[:, 0])
+        jy = jnp.where(first, 0.5, u[:, 1])
+    x_ndc = (px + jx) / width - 0.5
+    y_ndc = (py + jy) / height - 0.5
+    vx = x_ndc * cam.viewplane[0]
+    vy = y_ndc * cam.viewplane[1]
+    dx = vx * cam.right[0] + vy * cam.up[0] + cam.forward[0]
+    dy = vx * cam.right[1] + vy * cam.up[1] + cam.forward[1]
+    dz = vx * cam.right[2] + vy * cam.up[2] + cam.forward[2]
+    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv, dy * inv, dz * inv
+    ox = jnp.full(r, cam.pos[0])
+    oy = jnp.full(r, cam.pos[1])
+    oz = jnp.full(r, cam.pos[2])
+    return ox, oy, oz, dx, dy, dz, pix
+
+
+def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
+                table: ShaderTable, lanes, alive, payload, chunk: int):
+    """Trace every pool ray in `chunk`-sized pieces (lax.map).
+
+    Dead lanes get a degenerate no-op trace (t_max<=0 kills the root test
+    immediately), so fully-dead chunks exit their while_loop in one step.
+    Returns hit lanes (dist/bx/by/bz/tri/inst) and total steps.
+    """
+    ox, oy, oz, dx, dy, dz = lanes
+    r = ox.shape[0]
+    c = r // chunk
+
+    def chunk_body(args):
+        cox, coy, coz, cdx, cdy, cdz, calive, cthr, cbounce, cpix = args
+        t_max = jnp.where(calive, LARGE_FLOAT, -1.0)
+        st = init_state_lanes(cox, coy, coz, cdx, cdy, cdz)
+        st = st._replace(best_t=t_max, done=~calive)
+        if table.anyhit is None:
+            hits, st, perf = trace_lanes(
+                wa, cox, coy, coz, cdx, cdy, cdz, state=st)
+        else:
+            def cond(s):
+                return jnp.any(~s.done)
+
+            def body(s):
+                _, s, _ = trace_lanes(wa, cox, coy, coz, cdx, cdy, cdz,
+                                      state=s, suspend=True)
+                sp = shade_point(
+                    sa, cox, coy, coz, cdx, cdy, cdz,
+                    s.pend_t, s.pend_bx, s.pend_by,
+                    1.0 - s.pend_bx - s.pend_by,
+                    jnp.clip(s.pend_tri, 0, sa.shade_rows.shape[0] - 1),
+                    jnp.clip(s.pend_inst, 0, sa.inst_shade.shape[0] - 1))
+                ray = RayLanes(cox, coy, coz, cdx, cdy, cdz)
+                pl = PayloadLanes(cthr, cbounce, cpix)
+                action = table.anyhit(ctx, sp, ray, pl)
+                s = commit(s, jnp.where(s.suspended, action, COMMIT_CONT))
+                return s
+
+            st = jax.lax.while_loop(cond, body, st)
+            hits = Hits(dist=st.best_t, bx=st.bx, by=st.by,
+                        bz=1.0 - st.bx - st.by, tri=st.tri,
+                        inst=st.best_inst)
+            perf = None
+        steps = st.steps
+        return (hits.dist, hits.bx, hits.by, hits.tri, hits.inst, steps)
+
+    def resh(a):
+        return a.reshape(c, chunk)
+
+    thr, bounce, pix = payload
+    outs = jax.lax.map(
+        chunk_body,
+        (resh(ox), resh(oy), resh(oz), resh(dx), resh(dy), resh(dz),
+         resh(alive), resh(thr), resh(bounce), resh(pix)))
+    dist, bx, by, tri, inst, steps = outs
+    return (dist.reshape(r), bx.reshape(r), by.reshape(r),
+            tri.reshape(r), inst.reshape(r), steps.sum())
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "max_depth", "spp", "chunk",
+                          "table"))
+def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
+                     light: LightArrays, width: int, height: int,
+                     max_depth: int = 2, spp: int = 1, chunk: int = 4096,
+                     table: ShaderTable = None, seed: int = 0):
+    """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
+    if table is None:
+        table = ShaderTable()
+    ctx = ShaderContext(
+        shade=sa, light_pos=light.light_pos, light_color=light.light_color,
+        ambient=light.ambient, background=light.background,
+        max_depth=max_depth)
+
+    n_pix = width * height
+    n_real = n_pix * spp
+    r = ((n_real + chunk - 1) // chunk) * chunk
+    key = jax.random.PRNGKey(seed)
+    ox, oy, oz, dx, dy, dz, pix = _camera_lanes(cam, width, height, spp, key)
+
+    def pad(a, fill=0):
+        return jnp.concatenate(
+            [a, jnp.full(r - n_real, fill, a.dtype)]) if r > n_real else a
+
+    ox, oy, oz = pad(ox), pad(oy), pad(oz)
+    dx, dy, dz = pad(dx), pad(dy, 1.0), pad(dz)
+    pix = pad(pix, n_pix)  # padding lanes get an out-of-range pixel id
+    slot = jnp.arange(r, dtype=jnp.int32)  # original pool slot per lane
+    alive = slot < n_real
+    rad_r = jnp.zeros(r, jnp.float32)
+    rad_g = jnp.zeros(r, jnp.float32)
+    rad_b = jnp.zeros(r, jnp.float32)
+    thr = jnp.ones(r, jnp.float32)
+    bounce_ct = jnp.zeros(r, jnp.int32)
+    rays_traced = jnp.int32(0)
+    steps_total = jnp.int32(0)
+
+    for bounce in range(max_depth):
+        if bounce > 0:
+            # ---- compaction: alive-first stable partition (the
+            # ShaderQueue regrouping analog) ----
+            order = jnp.argsort(~alive, stable=True)
+            (ox, oy, oz, dx, dy, dz, pix, slot, alive, rad_r, rad_g, rad_b,
+             thr, bounce_ct) = (a[order] for a in (
+                ox, oy, oz, dx, dy, dz, pix, slot, alive, rad_r, rad_g,
+                rad_b, thr, bounce_ct))
+
+        rays_traced = rays_traced + alive.sum(dtype=jnp.int32)
+        dist, bx, by, tri, inst, steps = _trace_pool(
+            wa, sa, ctx, table, (ox, oy, oz, dx, dy, dz), alive,
+            (thr, bounce_ct, pix), chunk)
+        steps_total = steps_total + steps
+
+        hit = alive & (dist < LARGE_FLOAT)
+        miss = alive & ~hit
+        tri_c = jnp.clip(tri, 0, sa.shade_rows.shape[0] - 1)
+        inst_c = jnp.clip(inst, 0, sa.inst_shade.shape[0] - 1)
+        sp = shade_point(sa, ox, oy, oz, dx, dy, dz,
+                         dist, bx, by, 1.0 - bx - by, tri_c, inst_c)
+        ray = RayLanes(ox, oy, oz, dx, dy, dz)
+        pl = PayloadLanes(thr, bounce_ct, pix)
+
+        co = table.closest(ctx, sp, ray, pl)
+        mr, mg, mb = table.miss(ctx, ray, pl)
+
+        rad_r = rad_r + jnp.where(hit, thr * co.add_r,
+                                  jnp.where(miss, thr * mr, 0.0))
+        rad_g = rad_g + jnp.where(hit, thr * co.add_g,
+                                  jnp.where(miss, thr * mg, 0.0))
+        rad_b = rad_b + jnp.where(hit, thr * co.add_b,
+                                  jnp.where(miss, thr * mb, 0.0))
+        thr = jnp.where(hit, thr * co.throughput_mul, thr)
+
+        spawn = hit & co.spawn
+        ox = jnp.where(spawn, co.sox, ox)
+        oy = jnp.where(spawn, co.soy, oy)
+        oz = jnp.where(spawn, co.soz, oz)
+        dx = jnp.where(spawn, co.sdx, dx)
+        dy = jnp.where(spawn, co.sdy, dy)
+        dz = jnp.where(spawn, co.sdz, dz)
+        alive = spawn
+        bounce_ct = jnp.where(spawn, bounce_ct + 1, bounce_ct)
+
+    # ---- resolve: un-permute by original slot, group samples per pixel ----
+    inv = jnp.argsort(slot, stable=True)
+    rad_r, rad_g, rad_b = rad_r[inv], rad_g[inv], rad_b[inv]
+    img = jnp.stack([
+        rad_r[:n_real].reshape(n_pix, spp).mean(1),
+        rad_g[:n_real].reshape(n_pix, spp).mean(1),
+        rad_b[:n_real].reshape(n_pix, spp).mean(1)], axis=-1)
+    return img.reshape(height, width, 3), rays_traced, steps_total
+
+
+def _same_default(table: ShaderTable) -> ShaderTable:
+    """The chunked path bakes the default shaders into _shade_pool_default;
+    only tables equal to the default can use it."""
+    return table if table == ShaderTable() else None
+
+
+# ---------------------------------------------------------------------------
+# host-orchestrated chunked path (TPU production mode)
+#
+# Measured reality on v5e (see ops.traverse_wide docstring): the traversal
+# step is fast ONLY when the chunk trace is its own standalone XLA program
+# with contiguous (4096,) arguments.  Folding chunks into a bigger program
+# (lax.map, in-jit unrolling, full-frame fusion) re-triggers a >100x layout
+# cliff.  So the production path dispatches one small jit per chunk from the
+# host — JAX's async dispatch pipelines them — plus one jit each for ray gen,
+# compaction, shading, and resolve.  This is also closer in spirit to the
+# reference, where the host driver orchestrates device kernels (tracer.cpp).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, donate_argnums=())
+def _trace_chunk_jit(wa: WideArrays, ox, oy, oz, dx, dy, dz, alive):
+    st = init_state_lanes(ox, oy, oz, dx, dy, dz)
+    st = st._replace(best_t=jnp.where(alive, LARGE_FLOAT, -1.0), done=~alive)
+    hits, st, perf = trace_lanes(wa, ox, oy, oz, dx, dy, dz, state=st)
+    return hits.dist, hits.bx, hits.by, hits.tri, hits.inst, st.steps
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _split_pool(ox, oy, oz, dx, dy, dz, alive, chunk: int):
+    c = ox.shape[0] // chunk
+    outs = []
+    for i in range(c):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        outs.append((sl(ox), sl(oy), sl(oz), sl(dx), sl(dy), sl(dz),
+                     sl(alive)))
+    return outs
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def _shade_pool_default(sa: ShadeArrays, light: LightArrays, max_depth: int,
+                        ox, oy, oz, dx, dy, dz, alive,
+                        dist, bx, by, tri, inst,
+                        rad_r, rad_g, rad_b, thr, bounce_ct, pix):
+    """Default-shader-table shading of the whole pool (one program)."""
+    ctx = ShaderContext(
+        shade=sa, light_pos=light.light_pos, light_color=light.light_color,
+        ambient=light.ambient, background=light.background,
+        max_depth=max_depth)
+    table = ShaderTable()
+    hit = alive & (dist < LARGE_FLOAT)
+    miss = alive & ~hit
+    tri_c = jnp.clip(tri, 0, sa.shade_rows.shape[0] - 1)
+    inst_c = jnp.clip(inst, 0, sa.inst_shade.shape[0] - 1)
+    sp = shade_point(sa, ox, oy, oz, dx, dy, dz,
+                     dist, bx, by, 1.0 - bx - by, tri_c, inst_c)
+    ray = RayLanes(ox, oy, oz, dx, dy, dz)
+    pl = PayloadLanes(thr, bounce_ct, pix)
+    co = table.closest(ctx, sp, ray, pl)
+    mr, mg, mb = table.miss(ctx, ray, pl)
+    rad_r = rad_r + jnp.where(hit, thr * co.add_r,
+                              jnp.where(miss, thr * mr, 0.0))
+    rad_g = rad_g + jnp.where(hit, thr * co.add_g,
+                              jnp.where(miss, thr * mg, 0.0))
+    rad_b = rad_b + jnp.where(hit, thr * co.add_b,
+                              jnp.where(miss, thr * mb, 0.0))
+    thr = jnp.where(hit, thr * co.throughput_mul, thr)
+    spawn = hit & co.spawn
+    ox = jnp.where(spawn, co.sox, ox)
+    oy = jnp.where(spawn, co.soy, oy)
+    oz = jnp.where(spawn, co.soz, oz)
+    dx = jnp.where(spawn, co.sdx, dx)
+    dy = jnp.where(spawn, co.sdy, dy)
+    dz = jnp.where(spawn, co.sdz, dz)
+    bounce_ct = jnp.where(spawn, bounce_ct + 1, bounce_ct)
+    return (ox, oy, oz, dx, dy, dz, spawn, rad_r, rad_g, rad_b, thr,
+            bounce_ct)
+
+
+@jax.jit
+def _compact_pool(ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b,
+                  thr, bounce_ct, pix, slot):
+    order = jnp.argsort(~alive, stable=True)
+    return tuple(a[order] for a in (ox, oy, oz, dx, dy, dz, alive, rad_r,
+                                    rad_g, rad_b, thr, bounce_ct, pix, slot))
+
+
+@partial(jax.jit, static_argnames=("n_pix", "spp", "n_real"))
+def _resolve(rad_r, rad_g, rad_b, slot, n_pix: int, spp: int, n_real: int):
+    inv = jnp.argsort(slot, stable=True)
+    rr, rg, rb = rad_r[inv], rad_g[inv], rad_b[inv]
+    return jnp.stack([
+        rr[:n_real].reshape(n_pix, spp).mean(1),
+        rg[:n_real].reshape(n_pix, spp).mean(1),
+        rb[:n_real].reshape(n_pix, spp).mean(1)], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "chunk"))
+def _gen_pool(cam: CameraArrays, width: int, height: int, spp: int,
+              chunk: int, seed: int = 0):
+    n_real = width * height * spp
+    r = ((n_real + chunk - 1) // chunk) * chunk
+    key = jax.random.PRNGKey(seed)
+    ox, oy, oz, dx, dy, dz, pix = _camera_lanes(cam, width, height, spp, key)
+
+    def pad(a, fill=0):
+        return jnp.concatenate(
+            [a, jnp.full(r - n_real, fill, a.dtype)]) if r > n_real else a
+
+    return (pad(ox), pad(oy), pad(oz), pad(dx), pad(dy, 1.0), pad(dz),
+            pad(pix, width * height), jnp.arange(r, dtype=jnp.int32),
+            jnp.arange(r, dtype=jnp.int32) < n_real)
+
+
+@dataclasses.dataclass
+class WavefrontRenderer:
+    """Host-facing flagship renderer (Tracer analog, tracer.cpp)."""
+
+    sb: SceneBuffers
+    wa: WideArrays
+    sa: ShadeArrays
+    config: RTConfig
+    table: ShaderTable
+
+    @staticmethod
+    def from_scene(scene: Scene, config: Optional[RTConfig] = None,
+                   table: Optional[ShaderTable] = None) -> "WavefrontRenderer":
+        cfg = config or RTConfig()
+        return WavefrontRenderer.from_buffers(scene.build(cfg), cfg, table)
+
+    @staticmethod
+    def from_buffers(sb_host: SceneBuffers, config: Optional[RTConfig] = None,
+                     table: Optional[ShaderTable] = None
+                     ) -> "WavefrontRenderer":
+        cfg = config or RTConfig()
+        return WavefrontRenderer(
+            sb=jax.tree.map(jnp.asarray, sb_host),
+            wa=WideArrays.from_scene(sb_host),
+            sa=ShadeArrays.from_scene(sb_host),
+            config=cfg,
+            table=table or ShaderTable(),
+        )
+
+    def render(self, cam: Camera, params: RenderParams,
+               width: Optional[int] = None, height: Optional[int] = None,
+               mode: str = "auto") -> Tuple[np.ndarray, int]:
+        """mode: 'fused' = one-jit frame; 'chunked' = host-orchestrated
+        per-chunk dispatch (the TPU fast path); 'auto' picks chunked on
+        TPU backends with the default shader table."""
+        w = width or self.config.width
+        h = height or self.config.height
+        if mode == "auto":
+            on_tpu = jax.default_backend() not in ("cpu",)
+            mode = ("chunked" if on_tpu and self.table.anyhit is None
+                    and self.table is _same_default(self.table)
+                    else "fused")
+        if mode == "chunked":
+            return self._render_chunked(cam, params, w, h)
+        img, nrays, _ = render_wavefront(
+            self.wa, self.sa, CameraArrays.from_camera(cam),
+            LightArrays.from_params(params), w, h,
+            max_depth=params.max_depth, spp=params.spp,
+            chunk=self.config.lanes, table=self.table)
+        return np.asarray(img), int(nrays)
+
+    def _render_chunked(self, cam: Camera, params: RenderParams,
+                        w: int, h: int) -> Tuple[np.ndarray, int]:
+        chunk = self.config.lanes
+        light = LightArrays.from_params(params)
+        (ox, oy, oz, dx, dy, dz, pix, slot, alive) = _gen_pool(
+            CameraArrays.from_camera(cam), w, h, params.spp, chunk)
+        r = ox.shape[0]
+        c = r // chunk
+        rad_r = jnp.zeros(r, jnp.float32)
+        rad_g = jnp.zeros(r, jnp.float32)
+        rad_b = jnp.zeros(r, jnp.float32)
+        thr = jnp.ones(r, jnp.float32)
+        bounce_ct = jnp.zeros(r, jnp.int32)
+        nrays = 0
+        n_alive = int(np.asarray(alive.sum()))
+
+        for bounce in range(params.max_depth):
+            if bounce > 0:
+                (ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b, thr,
+                 bounce_ct, pix, slot) = _compact_pool(
+                    ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b,
+                    thr, bounce_ct, pix, slot)
+            nrays += n_alive
+            n_chunks = min(c, (n_alive + chunk - 1) // chunk)
+            if n_chunks == 0:
+                break
+            chunks = _split_pool(ox, oy, oz, dx, dy, dz, alive, chunk)
+            outs = [
+                _trace_chunk_jit(self.wa, *chunks[i])
+                for i in range(n_chunks)
+            ]
+            z = jnp.zeros(chunk, jnp.float32)
+            zi = jnp.zeros(chunk, jnp.int32)
+            big = jnp.full(chunk, LARGE_FLOAT)
+            pads = [(big, z, z, zi, zi, jnp.int32(0))] * (c - n_chunks)
+            allouts = outs + pads
+            dist = jnp.concatenate([o[0] for o in allouts])
+            bx = jnp.concatenate([o[1] for o in allouts])
+            by = jnp.concatenate([o[2] for o in allouts])
+            tri = jnp.concatenate([o[3] for o in allouts])
+            inst = jnp.concatenate([o[4] for o in allouts])
+            (ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b, thr,
+             bounce_ct) = _shade_pool_default(
+                self.sa, light, params.max_depth,
+                ox, oy, oz, dx, dy, dz, alive,
+                dist, bx, by, tri, inst,
+                rad_r, rad_g, rad_b, thr, bounce_ct, pix)
+            if bounce + 1 < params.max_depth:
+                n_alive = int(np.asarray(alive.sum()))
+
+        img = _resolve(rad_r, rad_g, rad_b, slot, w * h, params.spp,
+                       w * h * params.spp)
+        return np.asarray(img).reshape(h, w, 3), int(nrays)

@@ -362,12 +362,17 @@ class WideState(NamedTuple):
 
 
 def init_state(r: int, o, d, t_max: float = LARGE_FLOAT) -> WideState:
+    return init_state_lanes(o[:, 0], o[:, 1], o[:, 2],
+                            d[:, 0], d[:, 1], d[:, 2], t_max)
+
+
+def init_state_lanes(ox, oy, oz, dx, dy, dz,
+                     t_max: float = LARGE_FLOAT) -> WideState:
+    r = ox.shape[0]
     zi = jnp.zeros(r, jnp.int32)
     zu = jnp.zeros(r, jnp.uint32)
     zf = jnp.zeros(r, jnp.float32)
     zb = jnp.zeros(r, bool)
-    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
     return WideState(
         node=zi, level=zi,
         tr0=zu, tr1=zu, tr2=zu, tr3=zu,
@@ -404,11 +409,24 @@ def trace_rays_wide(
     closer intersection with pending hit info filled (rt_unit ANY queue
     analog); resume by passing the (committed) state back in.
     """
-    r = o.shape[0]
+    return trace_lanes(wa, o[:, 0], o[:, 1], o[:, 2],
+                       d[:, 0], d[:, 1], d[:, 2],
+                       state=state, suspend=suspend, max_steps=max_steps,
+                       t_max=t_max)
+
+
+def trace_lanes(
+    wa: WideArrays,
+    ox, oy, oz, dx, dy, dz,
+    state: Optional[WideState] = None,
+    suspend: bool = False,
+    max_steps: int = 200_000,
+    t_max: float = LARGE_FLOAT,
+) -> Tuple[Hits, WideState, PerfCounters]:
+    """Lane-form entry point (see trace_rays_wide)."""
+    r = ox.shape[0]
     if state is None:
-        state = init_state(r, o, d, t_max)
-    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        state = init_state_lanes(ox, oy, oz, dx, dy, dz, t_max)
     ivx, ivy, ivz = _rcp_lane(dx), _rcp_lane(dy), _rcp_lane(dz)
     n_pool = int(wa.nodes.shape[0])
     n_tri = int(wa.tri_rows.shape[0])

@@ -49,8 +49,10 @@ class RTConfig:
     max_leaf_tris: int = 4      # leaf size target for the binary BVH
 
     # ---- wavefront engine (RTU analog) ----
-    lanes: int = 256            # rays per dense batch (NUM_RTU_LANES analog,
-                                # sized for the 8x128 VPU rather than SIMD_WIDTH)
+    lanes: int = 4096           # rays per dense traversal chunk (NUM_RTU_LANES
+                                # analog); 4096 is the measured fast-path batch
+                                # on v5e — larger chunks fall off a >100x
+                                # compiler cliff (see ops/traverse_wide.py)
     queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
     trav_chunk: int = 64        # traversal steps between shader-regroup points
     max_waves: int = 64         # upper bound on regroup iterations per frame
