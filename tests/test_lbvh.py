@@ -1,0 +1,141 @@
+"""On-device LBVH: structure, refit, and hit parity vs the oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vortex_rt_tpu.accel.lbvh import (
+    build_lbvh, morton3d, pad_tris, wide_arrays_from_lbvh,
+)
+from vortex_rt_tpu.accel.qbvh import KIND_INSTANCE, KIND_INTERNAL, KIND_TRIS
+from vortex_rt_tpu.golden.renderer import brute_force_hits
+from vortex_rt_tpu.models.procedural import random_soup, uv_sphere
+from vortex_rt_tpu.models.scene import Scene
+from vortex_rt_tpu.ops.traverse_wide import trace_rays_wide
+from vortex_rt_tpu.utils.config import LARGE_FLOAT
+
+
+def test_morton_ordering():
+    """Morton codes preserve octant ordering."""
+    m000 = int(morton3d(jnp.array([0.1]), jnp.array([0.1]), jnp.array([0.1]))[0])
+    m111 = int(morton3d(jnp.array([0.9]), jnp.array([0.9]), jnp.array([0.9]))[0])
+    assert m000 < m111
+    # x is the highest interleaved bit
+    mx = int(morton3d(jnp.array([0.9]), jnp.array([0.0]), jnp.array([0.0]))[0])
+    my = int(morton3d(jnp.array([0.0]), jnp.array([0.9]), jnp.array([0.0]))[0])
+    mz = int(morton3d(jnp.array([0.0]), jnp.array([0.0]), jnp.array([0.9]))[0])
+    assert mx > my > mz
+
+
+def _lbvh_structure_ok(nodes, leaf_size, t):
+    """Host-side structural validation of the packed pool."""
+    nodes = np.asarray(nodes)
+    meta = nodes[:, 14]
+    kind = meta >> 29
+    left = (meta & ((1 << 26) - 1)).astype(np.int64)
+    n = nodes.shape[0]
+    assert kind[0] == KIND_INSTANCE
+    # walk from the BLAS root: every leaf slot range covered exactly once
+    covered = np.zeros(t, np.int32)
+    stack = [1]
+    seen = set()
+    while stack:
+        x = stack.pop()
+        assert x not in seen, "cycle in LBVH"
+        seen.add(x)
+        if kind[x] == KIND_TRIS:
+            cnt = int(nodes[x, 15])
+            covered[left[x] : left[x] + cnt] += 1
+        else:
+            assert kind[x] == KIND_INTERNAL
+            stack += [int(left[x]), int(left[x]) + 1]
+    assert (covered == 1).all()
+    assert len(seen) == n - 1  # every BLAS node reachable exactly once
+
+
+def test_lbvh_structure(rng):
+    m = random_soup(rng, 128)
+    lb = build_lbvh(jnp.asarray(m.v0), jnp.asarray(m.v1), jnp.asarray(m.v2),
+                    leaf_size=4)
+    _lbvh_structure_ok(lb.nodes, 4, 128)
+
+
+def test_lbvh_boxes_contain_children(rng):
+    """Every dequantized child box must contain its subtree's triangles."""
+    m = random_soup(rng, 64)
+    lb = build_lbvh(jnp.asarray(m.v0), jnp.asarray(m.v1), jnp.asarray(m.v2),
+                    leaf_size=4)
+    nodes = np.asarray(lb.nodes)
+    rows = np.asarray(lb.tri_rows)
+    v0 = rows[:, 0:3]
+    v1 = v0 + rows[:, 3:6]
+    v2 = v0 + rows[:, 6:9]
+    meta = nodes[:, 14]
+    kind = meta >> 29
+    left = (meta & ((1 << 26) - 1)).astype(np.int64)
+
+    def subtree_slots(x):
+        if kind[x] == KIND_TRIS:
+            return list(range(left[x], left[x] + int(nodes[x, 15])))
+        return subtree_slots(int(left[x])) + subtree_slots(int(left[x]) + 1)
+
+    for x in range(1, nodes.shape[0]):
+        if kind[x] != KIND_INTERNAL:
+            continue
+        org = nodes[x, 0:3].view(np.float32)
+        scl = nodes[x, 3:6].view(np.float32)
+        for c in range(2):
+            ql = nodes[x, 6 + c]
+            qh = nodes[x, 10 + c]
+            lo = org + np.array([(ql >> s) & 255 for s in (0, 8, 16)]) * scl
+            hi = org + np.array([(qh >> s) & 255 for s in (0, 8, 16)]) * scl
+            slots = subtree_slots(int(left[x]) + c)
+            pts = np.concatenate([v0[slots], v1[slots], v2[slots]])
+            assert (lo <= pts.min(0) + 1e-4).all()
+            assert (hi >= pts.max(0) - 1e-4).all()
+
+
+def test_lbvh_hit_parity(rng):
+    """LBVH traversal must agree with the brute-force oracle (different
+    tree than SAH, same closest hits)."""
+    sc = Scene()
+    sc.add_mesh(random_soup(rng, 256))
+    sb = sc.build()
+    wa = wide_arrays_from_lbvh(
+        build_lbvh(jnp.asarray(sb.v0), jnp.asarray(sb.v1),
+                   jnp.asarray(sb.v2), leaf_size=4))
+    o = rng.uniform(-14, 14, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hits, state, _ = trace_rays_wide(wa, jnp.asarray(o), jnp.asarray(d))
+    ref = brute_force_hits(o, d, sb)
+    got = np.asarray(hits.dist)
+    np.testing.assert_array_equal(got < LARGE_FLOAT, ref["dist"] < LARGE_FLOAT)
+    h = ref["dist"] < LARGE_FLOAT
+    np.testing.assert_allclose(got[h], ref["dist"][h], rtol=2e-4)
+    assert bool(np.asarray(state.done).all())
+
+
+def test_lbvh_rebuild_animated(rng):
+    """Per-frame rebuild: move the geometry, rebuild, hits follow."""
+    m = uv_sphere((0, 0, 0), 1.0, 8, 12)
+    v0, v1, v2 = pad_tris(m.v0, m.v1, m.v2, 4)
+    o = np.tile(np.array([[0.0, 0.0, -5.0]], np.float32), (16, 1))
+    d = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (16, 1))
+    build = jax.jit(lambda a, b, c: build_lbvh(a, b, c, leaf_size=4))
+    for shift in (0.0, 2.5):
+        off = np.array([0, 0, shift], np.float32)
+        lb = build(jnp.asarray(v0 + off), jnp.asarray(v1 + off),
+                   jnp.asarray(v2 + off))
+        wa = wide_arrays_from_lbvh(lb)
+        hits, _, _ = trace_rays_wide(wa, jnp.asarray(o), jnp.asarray(d))
+        t = float(np.asarray(hits.dist)[0])
+        assert abs(t - (4.0 + shift)) < 0.05, (shift, t)
+
+
+def test_pad_tris():
+    v = np.zeros((5, 3), np.float32)
+    a, b, c = pad_tris(v, v + 1, v + 2, 4)
+    assert a.shape[0] == 8
+    # padding is degenerate (all three verts identical)
+    assert (a[5:] == b[5:]).all() and (b[5:] == c[5:]).all()

@@ -186,7 +186,7 @@ class WideArrays:
         nodes[:, 15] = leaf.astype(np.uint32)
 
         depth = int(wt.depth + wb.depth)
-        assert depth < 31, f"combined BVH depth {depth} exceeds trail budget"
+        assert depth < 63, f"combined BVH depth {depth} exceeds trail budget"
 
         t = sb.bvh_tri_idx.shape[0]
         tri_rows = np.zeros((t, 16), np.float32)
@@ -211,8 +211,12 @@ class WideArrays:
 
 
 # ---------------------------------------------------------------------------
-# trail: 4 bits/level, 8 levels per uint32 word, 4 words = 32 levels
+# trail: 4 bits/level, 8 levels per uint32 word, 8 words = 64 levels
+# (the reference's MAX_TRAIL_LEVEL is 32; we carry 64 so deep binary LBVH
+# trees fit — 4 extra u32 lanes cost nothing)
 # ---------------------------------------------------------------------------
+
+TRAIL_WORDS = 8
 
 def _u32(x):
     return x.astype(jnp.uint32)
@@ -222,7 +226,7 @@ def trail_get(tr, level):
     sh = _u32((level & 7) * 4)
     widx = level >> 3
     w = tr[0]
-    for i in (1, 2, 3):
+    for i in range(1, TRAIL_WORDS):
         w = jnp.where(widx == i, tr[i], w)
     return ((w >> sh) & jnp.uint32(0xF)).astype(jnp.int32)
 
@@ -231,7 +235,7 @@ def trail_set(tr, level, val, mask):
     sh = _u32((level & 7) * 4)
     widx = level >> 3
     out = []
-    for i in range(4):
+    for i in range(TRAIL_WORDS):
         neww = (tr[i] & ~(jnp.uint32(0xF) << sh)) | (_u32(val) << sh)
         out.append(jnp.where(mask & (widx == i), neww, tr[i]))
     return tuple(out)
@@ -240,7 +244,7 @@ def trail_set(tr, level, val, mask):
 def trail_clear_above(tr, p, mask):
     """Zero every level > p (rt_traversal.cpp:194-196)."""
     out = []
-    for i in range(4):
+    for i in range(TRAIL_WORDS):
         k = jnp.clip(p + 1 - 8 * i, 0, 8)
         sh = _u32(jnp.minimum(k * 4, 31))
         keep = jnp.where(k >= 8, jnp.uint32(0xFFFFFFFF),
@@ -254,7 +258,7 @@ def trail_find_parent(tr, level):
     (findNextParentLevel, rt_traversal.cpp:170-177).  Values are in [0, 4];
     ==4 iff the nibble's bit2 is set, so != 4 <=> bit (4l+2) clear."""
     best = jnp.full(level.shape, -1, jnp.int32)
-    for i in range(4):
+    for i in range(TRAIL_WORDS):
         cand = (~tr[i]) & jnp.uint32(0x44444444)
         k = jnp.clip(level - 8 * i, 0, 8)
         sh = _u32(jnp.minimum(k * 4, 31))
@@ -339,6 +343,7 @@ class WideState(NamedTuple):
     node: jnp.ndarray
     level: jnp.ndarray
     tr0: jnp.ndarray; tr1: jnp.ndarray; tr2: jnp.ndarray; tr3: jnp.ndarray
+    tr4: jnp.ndarray; tr5: jnp.ndarray; tr6: jnp.ndarray; tr7: jnp.ndarray
     s0: jnp.ndarray; s1: jnp.ndarray; s2: jnp.ndarray
     s3: jnp.ndarray; s4: jnp.ndarray
     scount: jnp.ndarray
@@ -375,7 +380,7 @@ def init_state_lanes(ox, oy, oz, dx, dy, dz,
     zb = jnp.zeros(r, bool)
     return WideState(
         node=zi, level=zi,
-        tr0=zu, tr1=zu, tr2=zu, tr3=zu,
+        tr0=zu, tr1=zu, tr2=zu, tr3=zu, tr4=zu, tr5=zu, tr6=zu, tr7=zu,
         s0=zi, s1=zi, s2=zi, s3=zi, s4=zi, scount=zi,
         inst=zi,
         lox=ox, loy=oy, loz=oz, ldx=dx, ldy=dy, ldz=dz,
@@ -451,7 +456,7 @@ def trace_lanes(
         is_tri = active & (kind == qbvh.KIND_TRIS)
         is_ins = active & (kind == qbvh.KIND_INSTANCE)
         in_tlas = node < wa.num_tlas
-        trail = (s.tr0, s.tr1, s.tr2, s.tr3)
+        trail = (s.tr0, s.tr1, s.tr2, s.tr3, s.tr4, s.tr5, s.tr6, s.tr7)
         stack = (s.s0, s.s1, s.s2, s.s3, s.s4)
         scount = s.scount
 
@@ -664,6 +669,7 @@ def trace_lanes(
         return WideState(
             node=nxt, level=level,
             tr0=trail[0], tr1=trail[1], tr2=trail[2], tr3=trail[3],
+            tr4=trail[4], tr5=trail[5], tr6=trail[6], tr7=trail[7],
             s0=stack[0], s1=stack[1], s2=stack[2], s3=stack[3], s4=stack[4],
             scount=scount, inst=inst,
             lox=lox, loy=loy, loz=loz,
