@@ -1,4 +1,4 @@
-"""Headline benchmark: Mrays/s on the flagship render path.
+"""Headline benchmark: Mrays/s on the flagship wavefront render path.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Runs on whatever JAX platform is available (TPU under axon; CPU otherwise).
@@ -18,13 +18,12 @@ NORTH_STAR_MRAYS = 200.0
 
 
 def main() -> None:
-    import jax
-
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
     from vortex_rt_tpu.models.procedural import cornell_box, random_soup
     from vortex_rt_tpu.models.scene import RenderParams, Scene
 
-    # benchmark scene: cornell box + a dense random soup (tens of thousands
-    # of tris) at 512x512, 2 bounces — a mid-ladder BASELINE.json config
+    # benchmark scene: cornell box + a dense 20k-tri soup, 256x256,
+    # 2 bounces (a mid-ladder BASELINE.json config)
     rng = np.random.default_rng(0)
     sc = Scene()
     for mesh, refl in cornell_box():
@@ -35,23 +34,16 @@ def main() -> None:
     sb = sc.build()
 
     width = height = 256
-    max_depth = 2
     cam = Scene.framing_camera(sb, 45.0, 1.0)
-    params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=max_depth)
-
-    try:
-        from vortex_rt_tpu.engine.wavefront import WavefrontRenderer as R
-    except ImportError:
-        from vortex_rt_tpu.engine.megakernel import MegakernelRenderer as R
-    r = R.from_buffers(sb)
+    params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2)
+    r = WavefrontRenderer.from_buffers(sb)
 
     # warmup (compile)
     img, nrays = r.render(cam, params, width, height)
-    jax.block_until_ready(img) if hasattr(img, "block_until_ready") else None
 
     iters = 5
-    t0 = time.perf_counter()
     total_rays = 0
+    t0 = time.perf_counter()
     for _ in range(iters):
         img, nrays = r.render(cam, params, width, height)
         total_rays += int(nrays)
@@ -60,7 +52,7 @@ def main() -> None:
 
     mrays = total_rays / dt / 1e6
     print(json.dumps({
-        "metric": "Mrays/s (512x512, 2-bounce, ~20k tris, 8 instances)",
+        "metric": "Mrays/s (wavefront, 256x256, 2-bounce, ~20k tris)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),

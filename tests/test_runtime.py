@@ -1,0 +1,106 @@
+"""Runtime layer: driver API (vortex.h analog) + native C++ builder."""
+
+import numpy as np
+import pytest
+
+from vortex_rt_tpu.accel.bvh2 import build_bvh2
+from vortex_rt_tpu.models.procedural import random_soup
+from vortex_rt_tpu.runtime import native
+from vortex_rt_tpu.runtime.device import (
+    VX_DCR_BASE_RTX_TLAS_PTR, Device, DeviceError, dev_open,
+)
+
+
+def test_device_open_and_buffers(rng):
+    dev = dev_open("cpu")
+    assert dev.platform == "cpu"
+    x = rng.standard_normal((64, 3)).astype(np.float32)
+    dev.copy_to_dev("tri", x)
+    np.testing.assert_array_equal(dev.copy_from_dev(dev.buffer("tri")), x)
+    assert dev.mem_info()["tri"] == x.nbytes
+    with pytest.raises(DeviceError):
+        dev.buffer("nope")
+
+
+def test_device_dcr_and_kernel_lifecycle(rng):
+    dev = dev_open("cpu")
+    dev.dcr_write(VX_DCR_BASE_RTX_TLAS_PTR, "tlas")
+    assert dev.dcr_read(VX_DCR_BASE_RTX_TLAS_PTR) == "tlas"
+    with pytest.raises(DeviceError):
+        dev.dcr_read(0x999)
+
+    import jax.numpy as jnp
+
+    dev.upload_kernel("double", lambda x: x * 2.0)
+    x = dev.copy_to_dev("x", rng.standard_normal(16).astype(np.float32))
+    with pytest.raises(DeviceError):
+        dev.ready_wait()  # nothing running
+    dev.start("double", x)
+    with pytest.raises(DeviceError):
+        dev.start("double", x)  # busy
+    out = dev.ready_wait()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+    perf = dev.dump_perf()
+    assert perf["kernels_launched"] == 1
+    assert perf["uploads"] == 1
+    with pytest.raises(DeviceError):
+        dev.start("missing", x)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_builder_matches_python(rng):
+    m = random_soup(rng, 500)
+    bp = build_bvh2(m.v0, m.v1, m.v2)
+    bn = native.build_bvh2_native(m.v0, m.v1, m.v2)
+    # identical permutation domain + full coverage
+    assert np.array_equal(np.sort(bn.tri_idx), np.arange(500))
+    # structural validity: every leaf covers its slots, children adjacent
+    covered = np.zeros(500, np.int32)
+    for i in range(bn.num_nodes):
+        if bn.tri_count[i] > 0:
+            covered[bn.left_first[i] : bn.left_first[i] + bn.tri_count[i]] += 1
+        else:
+            assert 0 < bn.left_first[i] < bn.num_nodes - 1
+    assert (covered == 1).all()
+    # same algorithm => near-identical tree quality and size
+    assert abs(bn.num_nodes - bp.num_nodes) <= max(4, 0.05 * bp.num_nodes)
+    assert bn.sah_cost() <= bp.sah_cost() * 1.1
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_builder_traversal_parity(rng):
+    """Hits through a native-built tree match the brute-force oracle."""
+    from vortex_rt_tpu.golden.renderer import brute_force_hits
+    from vortex_rt_tpu.models.scene import Scene
+    from vortex_rt_tpu.ops.traverse_wide import WideArrays, trace_rays_wide
+    from vortex_rt_tpu.utils.config import LARGE_FLOAT, RTConfig
+
+    sc = Scene()
+    sc.add_mesh(random_soup(rng, 300))
+    sb = sc.build(RTConfig(use_native_build=True))
+    wa = WideArrays.from_scene(sb)
+    o = rng.uniform(-14, 14, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hits, _, _ = trace_rays_wide(wa, o, d)
+    ref = brute_force_hits(o, d, sb)
+    np.testing.assert_array_equal(np.asarray(hits.dist) < LARGE_FLOAT,
+                                  ref["dist"] < LARGE_FLOAT)
+    h = ref["dist"] < LARGE_FLOAT
+    np.testing.assert_allclose(np.asarray(hits.dist)[h], ref["dist"][h],
+                               rtol=2e-4)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_builder_speed(rng):
+    """The native builder should beat the NumPy one on a real mesh size."""
+    import time
+
+    m = random_soup(rng, 30_000)
+    t0 = time.perf_counter()
+    native.build_bvh2_native(m.v0, m.v1, m.v2)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    build_bvh2(m.v0, m.v1, m.v2)
+    t_python = time.perf_counter() - t0
+    assert t_native < t_python, (t_native, t_python)

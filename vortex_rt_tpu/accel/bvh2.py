@@ -208,3 +208,25 @@ def build_bvh2_aabbs(
         tri_count=np.asarray(tri_count, np.int32),
         tri_idx=order,
     )
+
+
+def build_bvh2_auto(
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    max_leaf_tris: int = 4,
+    sah_bins: int = 8,
+    prefer_native: bool = True,
+) -> BVH2:
+    """Build with the native C++ builder (csrc/) when available, falling
+    back to the NumPy implementation.  Same algorithm either way."""
+    if prefer_native:
+        try:
+            from vortex_rt_tpu.runtime.native import build_bvh2_native
+
+            b = build_bvh2_native(v0, v1, v2, max_leaf_tris, sah_bins)
+            if b is not None:
+                return b
+        except Exception:
+            pass
+    return build_bvh2(v0, v1, v2, max_leaf_tris, sah_bins)

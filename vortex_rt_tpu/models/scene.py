@@ -27,7 +27,9 @@ from typing import List, Optional, Tuple
 import jax
 import numpy as np
 
-from vortex_rt_tpu.accel.bvh2 import BVH2, build_bvh2, build_bvh2_aabbs
+from vortex_rt_tpu.accel.bvh2 import (
+    BVH2, build_bvh2, build_bvh2_aabbs, build_bvh2_auto,
+)
 from vortex_rt_tpu.utils import vecmath as vm
 from vortex_rt_tpu.utils.config import LARGE_FLOAT, RTConfig
 
@@ -280,8 +282,10 @@ class Scene:
         mesh_bvh_root = []
         node_cursor = 0
         for mi, mesh in enumerate(self._meshes):
-            b = build_bvh2(mesh.v0, mesh.v1, mesh.v2,
-                           max_leaf_tris=cfg.max_leaf_tris, sah_bins=cfg.sah_bins)
+            b = build_bvh2_auto(
+                mesh.v0, mesh.v1, mesh.v2,
+                max_leaf_tris=cfg.max_leaf_tris, sah_bins=cfg.sah_bins,
+                prefer_native=cfg.use_native_build)
             mesh_bvh_root.append(node_cursor)
             node_pools.append(b)
             node_cursor += b.num_nodes

@@ -47,6 +47,7 @@ class RTConfig:
     max_trail: int = 32         # MAX_TRAIL_LEVEL (sim/simx/rt_traversal.h:9)
     sah_bins: int = 8           # BINS in binned SAH build (bvh.cpp:135-191)
     max_leaf_tris: int = 4      # leaf size target for the binary BVH
+    use_native_build: bool = True  # csrc/ C++ builder when available
 
     # ---- wavefront engine (RTU analog) ----
     lanes: int = 4096           # rays per dense traversal chunk (NUM_RTU_LANES
