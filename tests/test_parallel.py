@@ -49,3 +49,22 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiled_wavefront_matches_single():
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.parallel.tiles import render_tiled_wavefront
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    sb = _scene()
+    cam = Camera.look_at([0.11, 0.07, -3.2], [0.02, -0.01, 0], [0, 1, 0],
+                         45.0, 1.0)
+    params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2)
+    w, h = 16, 16
+    img_tiled, total = render_tiled_wavefront(sb, cam, params, w, h,
+                                              chunk=32)
+    r = WavefrontRenderer.from_buffers(sb, RTConfig(lanes=32))
+    img_single, nrays = r.render(cam, params, w, h, mode="fused")
+    assert total == nrays
+    bad = np.abs(img_tiled - img_single).max(-1) > 1e-4
+    assert bad.mean() < 0.02

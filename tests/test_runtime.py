@@ -104,3 +104,38 @@ def test_native_builder_speed(rng):
     build_bvh2(m.v0, m.v1, m.v2)
     t_python = time.perf_counter() - t0
     assert t_native < t_python, (t_native, t_python)
+
+
+def test_tracer_chrome_format(tmp_path):
+    from vortex_rt_tpu.utils.trace import Tracer
+
+    t = Tracer()
+    with t.span("build", tris=10):
+        with t.span("blas"):
+            pass
+    t.counter("rays", alive=42)
+    t.instant("done")
+    out = tmp_path / "trace.json"
+    t.save(str(out))
+    import json
+
+    data = json.loads(out.read_text())
+    names = [e["name"] for e in data["traceEvents"]]
+    assert names == ["blas", "build", "rays", "done"]
+    assert all("ts" in e for e in data["traceEvents"])
+    spans = [e for e in data["traceEvents"] if e["ph"] == "X"]
+    assert all(e["dur"] >= 0 for e in spans)
+
+
+def test_cli_perf_and_trace(tmp_path, capsys):
+    from vortex_rt_tpu import cli
+
+    out = tmp_path / "o.ppm"
+    tr = tmp_path / "t.json"
+    rc = cli.main(["-m", "sphere", "-w", "16", "-H", "16", "-d", "1",
+                   "--engine", "wavefront", "--perf",
+                   "--trace-out", str(tr), "-o", str(out)])
+    assert rc == 0
+    assert out.exists() and tr.exists()
+    text = capsys.readouterr().out
+    assert "PERF:" in text and "mrays_per_s=" in text

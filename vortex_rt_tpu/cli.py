@@ -54,6 +54,8 @@ def main(argv=None) -> int:
     ap.add_argument("--engine", choices=("megakernel", "wavefront"),
                     default="wavefront")
     ap.add_argument("--perf", action="store_true", help="print perf counters")
+    ap.add_argument("--trace-out", default=None,
+                    help="write a Chrome/Perfetto trace JSON of the render")
     args = ap.parse_args(argv)
     for name in ("width", "height", "spp", "depth"):
         if getattr(args, name) < 1:
@@ -61,6 +63,12 @@ def main(argv=None) -> int:
 
     from vortex_rt_tpu.models.scene import RenderParams, Scene
     from vortex_rt_tpu.utils.image import write_ppm
+
+    tracer = None
+    if args.trace_out:
+        from vortex_rt_tpu.utils.trace import enable_tracing
+
+        tracer = enable_tracing()
 
     sc = build_scene(args.model)
     sb = sc.build()
@@ -91,6 +99,14 @@ def main(argv=None) -> int:
     print(f"rendered {args.width}x{args.height} spp={args.spp} depth={args.depth} "
           f"model={args.model} engine={'cpu' if args.cpu else args.engine}: "
           f"{dt*1e3:.1f} ms, {nrays} rays, {mrays:.2f} Mrays/s -> {args.output}")
+    if args.perf:
+        # vx_dump_perf analog: scene + run statistics
+        print(f"PERF: tris={sb.num_tris} instances={sb.num_instances} "
+              f"bvh_nodes={sb.bvh_min.shape[0]} tlas_nodes={sb.tlas_min.shape[0]} "
+              f"rays={nrays} wall_ms={dt*1e3:.1f} mrays_per_s={mrays:.3f}")
+    if tracer is not None:
+        tracer.save(args.trace_out)
+        print(f"trace -> {args.trace_out}")
     return 0
 
 

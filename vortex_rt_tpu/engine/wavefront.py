@@ -52,18 +52,23 @@ from vortex_rt_tpu.ops.traverse_wide import (
     WideArrays, commit, init_state_lanes, trace_lanes,
 )
 from vortex_rt_tpu.utils.config import COMMIT_CONT, LARGE_FLOAT, RTConfig
+from vortex_rt_tpu.utils.trace import maybe_span
 
 
 def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
-                  key) -> Tuple[jnp.ndarray, ...]:
-    """Primary rays for the pool: R = w*h*spp lanes, pixel-major.
+                  key, n_pix: int = None, pix_offset=0
+                  ) -> Tuple[jnp.ndarray, ...]:
+    """Primary rays for the pool: R = n_pix*spp lanes, pixel-major.
 
+    ``pix_offset`` shifts the (row-major) pixel ids — used by the
+    multi-chip tiled path where each device renders a row block.
     Sample 0 uses the reference's pixel center (+0.5); further samples are
     stratified-jittered (GenerateRay, raycast/render.h:190-208).
     """
-    n_pix = width * height
+    if n_pix is None:
+        n_pix = width * height
     r = n_pix * spp
-    pix = jnp.arange(r, dtype=jnp.int32) // spp
+    pix = pix_offset + jnp.arange(r, dtype=jnp.int32) // spp
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     if spp == 1:
@@ -148,14 +153,15 @@ def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
             tri.reshape(r), inst.reshape(r), steps.sum())
 
 
-@partial(jax.jit,
-         static_argnames=("width", "height", "max_depth", "spp", "chunk",
-                          "table"))
-def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
-                     light: LightArrays, width: int, height: int,
-                     max_depth: int = 2, spp: int = 1, chunk: int = 4096,
-                     table: ShaderTable = None, seed: int = 0):
-    """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
+def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
+               light: LightArrays, width: int, height: int,
+               n_pix: int, pix_offset,
+               max_depth: int = 2, spp: int = 1, chunk: int = 4096,
+               table: ShaderTable = None, seed: int = 0):
+    """Traceable wavefront frame over ``n_pix`` row-major pixels starting
+    at ``pix_offset``.  Returns ((n_pix, 3) radiance, rays, steps).
+    Used by render_wavefront (whole frame) and parallel.tiles (row block
+    per device)."""
     if table is None:
         table = ShaderTable()
     ctx = ShaderContext(
@@ -163,11 +169,11 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         ambient=light.ambient, background=light.background,
         max_depth=max_depth)
 
-    n_pix = width * height
     n_real = n_pix * spp
     r = ((n_real + chunk - 1) // chunk) * chunk
     key = jax.random.PRNGKey(seed)
-    ox, oy, oz, dx, dy, dz, pix = _camera_lanes(cam, width, height, spp, key)
+    ox, oy, oz, dx, dy, dz, pix = _camera_lanes(
+        cam, width, height, spp, key, n_pix=n_pix, pix_offset=pix_offset)
 
     def pad(a, fill=0):
         return jnp.concatenate(
@@ -175,7 +181,7 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 
     ox, oy, oz = pad(ox), pad(oy), pad(oz)
     dx, dy, dz = pad(dx), pad(dy, 1.0), pad(dz)
-    pix = pad(pix, n_pix)  # padding lanes get an out-of-range pixel id
+    pix = pad(pix, -1)  # padding lanes get an out-of-range pixel id
     slot = jnp.arange(r, dtype=jnp.int32)  # original pool slot per lane
     alive = slot < n_real
     rad_r = jnp.zeros(r, jnp.float32)
@@ -239,7 +245,21 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         rad_r[:n_real].reshape(n_pix, spp).mean(1),
         rad_g[:n_real].reshape(n_pix, spp).mean(1),
         rad_b[:n_real].reshape(n_pix, spp).mean(1)], axis=-1)
-    return img.reshape(height, width, 3), rays_traced, steps_total
+    return img, rays_traced, steps_total
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "max_depth", "spp", "chunk",
+                          "table"))
+def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
+                     light: LightArrays, width: int, height: int,
+                     max_depth: int = 2, spp: int = 1, chunk: int = 4096,
+                     table: ShaderTable = None, seed: int = 0):
+    """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
+    img, rays, steps = frame_body(
+        wa, sa, cam, light, width, height, width * height, 0,
+        max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed)
+    return img.reshape(height, width, 3), rays, steps
 
 
 def _same_default(table: ShaderTable) -> ShaderTable:
@@ -424,19 +444,21 @@ class WavefrontRenderer:
 
         for bounce in range(params.max_depth):
             if bounce > 0:
-                (ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b, thr,
-                 bounce_ct, pix, slot) = _compact_pool(
-                    ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b,
-                    thr, bounce_ct, pix, slot)
+                with maybe_span("compact", bounce=bounce, alive=n_alive):
+                    (ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b, thr,
+                     bounce_ct, pix, slot) = _compact_pool(
+                        ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b,
+                        thr, bounce_ct, pix, slot)
             nrays += n_alive
             n_chunks = min(c, (n_alive + chunk - 1) // chunk)
             if n_chunks == 0:
                 break
             chunks = _split_pool(ox, oy, oz, dx, dy, dz, alive, chunk)
-            outs = [
-                _trace_chunk_jit(self.wa, *chunks[i])
-                for i in range(n_chunks)
-            ]
+            with maybe_span("trace", bounce=bounce, chunks=n_chunks):
+                outs = [
+                    _trace_chunk_jit(self.wa, *chunks[i])
+                    for i in range(n_chunks)
+                ]
             z = jnp.zeros(chunk, jnp.float32)
             zi = jnp.zeros(chunk, jnp.int32)
             big = jnp.full(chunk, LARGE_FLOAT)
@@ -447,12 +469,13 @@ class WavefrontRenderer:
             by = jnp.concatenate([o[2] for o in allouts])
             tri = jnp.concatenate([o[3] for o in allouts])
             inst = jnp.concatenate([o[4] for o in allouts])
-            (ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b, thr,
-             bounce_ct) = _shade_pool_default(
-                self.sa, light, params.max_depth,
-                ox, oy, oz, dx, dy, dz, alive,
-                dist, bx, by, tri, inst,
-                rad_r, rad_g, rad_b, thr, bounce_ct, pix)
+            with maybe_span("shade", bounce=bounce):
+                (ox, oy, oz, dx, dy, dz, alive, rad_r, rad_g, rad_b, thr,
+                 bounce_ct) = _shade_pool_default(
+                    self.sa, light, params.max_depth,
+                    ox, oy, oz, dx, dy, dz, alive,
+                    dist, bx, by, tri, inst,
+                    rad_r, rad_g, rad_b, thr, bounce_ct, pix)
             if bounce + 1 < params.max_depth:
                 n_alive = int(np.asarray(alive.sum()))
 

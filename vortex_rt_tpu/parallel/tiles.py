@@ -110,6 +110,64 @@ def render_tiled(sb_host: SceneBuffers, cam: Camera, params: RenderParams,
     return np.asarray(img), int(total)
 
 
+def make_tiled_wavefront(mesh: Mesh, width: int, height: int,
+                         max_depth: int = 2, spp: int = 1, chunk: int = 512,
+                         axis: str = "tiles"):
+    """SPMD wavefront renderer: each device runs the FULL flagship frame
+    body (trace chunks + shading + compaction + spp resolve) on its row
+    block; scene tables replicated; the global ray count rides a psum."""
+    from vortex_rt_tpu.engine.wavefront import frame_body
+    from vortex_rt_tpu.ops.shade_lanes import ShadeArrays
+    from vortex_rt_tpu.ops.traverse_wide import WideArrays as WA
+
+    n = mesh.shape[axis]
+    assert height % n == 0, f"height {height} not divisible by {n} devices"
+    rows_local = height // n
+    n_pix_local = rows_local * width
+
+    def _body(wa, sa, cam, light):
+        dev = jax.lax.axis_index(axis)
+        pix_offset = dev.astype(jnp.int32) * n_pix_local
+        img, rays, steps = frame_body(
+            wa, sa, cam, light, width, height, n_pix_local, pix_offset,
+            max_depth=max_depth, spp=spp, chunk=chunk,
+            seed=0)
+        total = jax.lax.psum(rays, axis)
+        return img.reshape(rows_local, width, 3), total
+
+    def step(wa, sa, cam, light):
+        shard = jax.shard_map(
+            _body, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(), wa),
+                      jax.tree.map(lambda _: P(), sa),
+                      jax.tree.map(lambda _: P(), cam),
+                      jax.tree.map(lambda _: P(), light)),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+        )
+        return shard(wa, sa, cam, light)
+
+    return jax.jit(step)
+
+
+def render_tiled_wavefront(sb_host: SceneBuffers, cam: Camera,
+                           params: RenderParams, width: int, height: int,
+                           mesh: Optional[Mesh] = None,
+                           chunk: int = 512) -> Tuple[np.ndarray, int]:
+    """Host API for the multi-chip flagship path."""
+    from vortex_rt_tpu.ops.shade_lanes import ShadeArrays
+    from vortex_rt_tpu.ops.traverse_wide import WideArrays as WA
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("tiles",))
+    step = make_tiled_wavefront(mesh, width, height, params.max_depth,
+                                params.spp, chunk)
+    img, total = step(WA.from_scene(sb_host), ShadeArrays.from_scene(sb_host),
+                      CameraArrays.from_camera(cam),
+                      LightArrays.from_params(params))
+    return np.asarray(img), int(total)
+
+
 def dryrun(n_devices: int) -> None:
     """Driver hook: full multi-chip render step on tiny shapes."""
     devs = jax.devices()[:n_devices]
@@ -131,3 +189,9 @@ def dryrun(n_devices: int) -> None:
     assert img.shape == (height, 8, 3), img.shape
     assert np.isfinite(img).all()
     assert total >= height * 8, total
+    # flagship path too: full wavefront frame body per device
+    img2, total2 = render_tiled_wavefront(sb, cam, params, 8, height,
+                                          mesh=mesh, chunk=32)
+    assert img2.shape == (height, 8, 3), img2.shape
+    assert np.isfinite(img2).all()
+    assert total2 >= height * 8, total2
