@@ -18,9 +18,14 @@ NORTH_STAR_MRAYS = 200.0
 
 
 def main() -> None:
+    from vortex_rt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
     from vortex_rt_tpu.models.procedural import cornell_box, random_soup
     from vortex_rt_tpu.models.scene import RenderParams, Scene
+    from vortex_rt_tpu.utils.config import RTConfig
 
     # benchmark scene: cornell box + a dense 20k-tri soup, 256x256,
     # 2 bounces (a mid-ladder BASELINE.json config)

@@ -35,8 +35,9 @@ def _lbvh_structure_ok(nodes, leaf_size, t):
     left = (meta & ((1 << 26) - 1)).astype(np.int64)
     n = nodes.shape[0]
     assert kind[0] == KIND_INSTANCE
-    # walk from the BLAS root: every leaf slot range covered exactly once
-    covered = np.zeros(t, np.int32)
+    # walk from the BLAS root: every leaf row referenced exactly once
+    n_leaves = t // leaf_size
+    covered = np.zeros(n_leaves, np.int32)
     stack = [1]
     seen = set()
     while stack:
@@ -44,8 +45,8 @@ def _lbvh_structure_ok(nodes, leaf_size, t):
         assert x not in seen, "cycle in LBVH"
         seen.add(x)
         if kind[x] == KIND_TRIS:
-            cnt = int(nodes[x, 15])
-            covered[left[x] : left[x] + cnt] += 1
+            assert int(nodes[x, 15]) == leaf_size
+            covered[left[x]] += 1
         else:
             assert kind[x] == KIND_INTERNAL
             stack += [int(left[x]), int(left[x]) + 1]
@@ -67,17 +68,27 @@ def test_lbvh_boxes_contain_children(rng):
                     leaf_size=4)
     nodes = np.asarray(lb.nodes)
     rows = np.asarray(lb.tri_rows)
-    v0 = rows[:, 0:3]
-    v1 = v0 + rows[:, 3:6]
-    v2 = v0 + rows[:, 6:9]
+    # unpack leaf rows to per-leaf triangle point sets
+    leaf_pts = []
+    for j in range(rows.shape[0]):
+        pts = []
+        for c in range(4):
+            base = 16 * c
+            tid = rows[j, base + 9 : base + 10].view(np.int32)[0]
+            v0 = rows[j, base : base + 3]
+            e1 = rows[j, base + 3 : base + 6]
+            e2 = rows[j, base + 6 : base + 9]
+            if np.any(e1 != 0) or np.any(e2 != 0) or tid >= 0:
+                pts += [v0, v0 + e1, v0 + e2]
+        leaf_pts.append(np.stack(pts))
     meta = nodes[:, 14]
     kind = meta >> 29
     left = (meta & ((1 << 26) - 1)).astype(np.int64)
 
-    def subtree_slots(x):
+    def subtree_pts(x):
         if kind[x] == KIND_TRIS:
-            return list(range(left[x], left[x] + int(nodes[x, 15])))
-        return subtree_slots(int(left[x])) + subtree_slots(int(left[x]) + 1)
+            return [leaf_pts[left[x]]]
+        return subtree_pts(int(left[x])) + subtree_pts(int(left[x]) + 1)
 
     for x in range(1, nodes.shape[0]):
         if kind[x] != KIND_INTERNAL:
@@ -89,8 +100,7 @@ def test_lbvh_boxes_contain_children(rng):
             qh = nodes[x, 10 + c]
             lo = org + np.array([(ql >> s) & 255 for s in (0, 8, 16)]) * scl
             hi = org + np.array([(qh >> s) & 255 for s in (0, 8, 16)]) * scl
-            slots = subtree_slots(int(left[x]) + c)
-            pts = np.concatenate([v0[slots], v1[slots], v2[slots]])
+            pts = np.concatenate(subtree_pts(int(left[x]) + c))
             assert (lo <= pts.min(0) + 1e-4).all()
             assert (hi >= pts.max(0) - 1e-4).all()
 

@@ -50,13 +50,14 @@ def test_qbvh_structure(rng):
     nch = np.asarray(wa.nchild)
     assert (nch[kind == KIND_INTERNAL] >= 2).all()
     assert (nch[kind == KIND_INTERNAL] <= 4).all()
-    # every tri slot is covered by exactly one leaf
-    covered = np.zeros(sb.num_tris, bool)
+    # every triangle appears in exactly one leaf row slot
+    tids = wa.leaf_tids
+    valid = tids[tids >= 0]
+    assert np.array_equal(np.sort(valid), np.arange(sb.num_tris))
+    # leaf rows referenced by tri-leaf nodes, one each
     lf = np.asarray(wa.left_first)
-    ld = np.asarray(wa.leaf_data)
-    for i in np.nonzero(kind == KIND_TRIS)[0]:
-        covered[lf[i] : lf[i] + ld[i]] = True
-    assert covered.all()
+    leaf_nodes = np.nonzero(kind == KIND_TRIS)[0]
+    assert np.array_equal(np.sort(lf[leaf_nodes]), np.arange(len(leaf_nodes)))
     assert wa.depth < 31
 
 
@@ -74,15 +75,18 @@ def test_quantized_boxes_conservative(rng):
     lf = np.asarray(wa.left_first)
     nch = np.asarray(wa.nchild)
     k = wa.num_tlas
-    # recompute child true bounds from the wide pool itself (leaf slots)
+    # recompute child true bounds from the leaf rows
     tri_rows = np.asarray(wa.tri_rows)
-    v0 = tri_rows[:, 0:3]
-    v1 = v0 + tri_rows[:, 3:6]
-    v2 = v0 + tri_rows[:, 6:9]
+    ld = np.asarray(wa.leaf_data)
 
     def leaf_bounds(i):
-        s = slice(lf[i], lf[i] + np.asarray(wa.leaf_data)[i])
-        pts = np.concatenate([v0[s], v1[s], v2[s]])
+        row = tri_rows[lf[i]]
+        pts = []
+        for c in range(ld[i]):
+            v0 = row[16 * c : 16 * c + 3]
+            pts += [v0, v0 + row[16 * c + 3 : 16 * c + 6],
+                    v0 + row[16 * c + 6 : 16 * c + 9]]
+        pts = np.stack(pts)
         return pts.min(0), pts.max(0)
 
     checked = 0

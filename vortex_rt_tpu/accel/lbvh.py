@@ -59,8 +59,8 @@ def morton3d(x, y, z):
 class LBVHNodes(NamedTuple):
     """Packed traversal arrays for a single-mesh LBVH scene."""
 
-    nodes: jnp.ndarray     # (1 + 2L-1, 16) u32: [0]=instance leaf, rest BLAS
-    tri_rows: jnp.ndarray  # (Tpad, 16) f32 in Morton-sorted slot order
+    nodes: jnp.ndarray     # (1 + 2L-1, 32) u32: [0]=instance leaf, rest BLAS
+    tri_rows: jnp.ndarray  # (L, 64) f32: one leaf per row, Morton order
     num_leaves: jnp.ndarray
 
 
@@ -211,7 +211,7 @@ def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
         return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
 
     # records in OLD order: internal k in [0, l-1), leaf j at (l-1)+j
-    rec = jnp.zeros((n_nodes, 16), jnp.uint32)
+    rec = jnp.zeros((n_nodes, 32), jnp.uint32)
     rec = rec.at[: l - 1, 0].set(f32bits(org[:, 0]))
     rec = rec.at[: l - 1, 1].set(f32bits(org[:, 1]))
     rec = rec.at[: l - 1, 2].set(f32bits(org[:, 2]))
@@ -227,26 +227,39 @@ def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     rec = rec.at[: l - 1, 14].set(
         merged_left | (jnp.uint32(2) << _LEFT_BITS)
         | (jnp.uint32(KIND_INTERNAL) << 29))
-    leaf_first = (jnp.arange(l, dtype=jnp.uint32) * leaf_size)
+    leaf_first = jnp.arange(l, dtype=jnp.uint32)  # leaf-row index
     rec = rec.at[l - 1 :, 14].set(
         leaf_first | (jnp.uint32(1) << _LEFT_BITS)
         | (jnp.uint32(KIND_TRIS) << 29))
     rec = rec.at[l - 1 :, 15].set(jnp.uint32(leaf_size))
 
     # scatter to new order; merged pool offset 1 for the TLAS root record
-    blas = jnp.zeros((n_nodes, 16), jnp.uint32).at[newid].set(rec)
-    tlas = jnp.zeros((1, 16), jnp.uint32)
+    blas = jnp.zeros((n_nodes, 32), jnp.uint32).at[newid].set(rec)
+    tlas = jnp.zeros((1, 32), jnp.uint32)
     tlas = tlas.at[0, 14].set(jnp.uint32(0) | (jnp.uint32(KIND_INSTANCE) << 29))
+    # identity inverse transform + BLAS root (merged node 1) inline
+    eye = jnp.asarray(
+        np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32)
+        .view(np.uint32))
+    tlas = tlas.at[0, 16:28].set(eye)
+    tlas = tlas.at[0, 28].set(jnp.uint32(1))
     nodes = jnp.concatenate([tlas, blas])
 
-    # ---- triangle rows in sorted slot order ----
-    tri_rows = jnp.zeros((t, 16), jnp.float32)
+    # ---- leaf rows: `leaf_size` sorted tris per 64-float row ----
     sv0 = v0[order]
-    tri_rows = tri_rows.at[:, 0:3].set(sv0)
-    tri_rows = tri_rows.at[:, 3:6].set(v1[order] - sv0)
-    tri_rows = tri_rows.at[:, 6:9].set(v2[order] - sv0)
-    tri_rows = tri_rows.at[:, 9].set(
-        jax.lax.bitcast_convert_type(order, jnp.float32))
+    se1 = v1[order] - sv0
+    se2 = v2[order] - sv0
+    tids = jax.lax.bitcast_convert_type(order, jnp.float32)
+    slot16 = jnp.zeros((t, 16), jnp.float32)
+    slot16 = slot16.at[:, 0:3].set(sv0)
+    slot16 = slot16.at[:, 3:6].set(se1)
+    slot16 = slot16.at[:, 6:9].set(se2)
+    slot16 = slot16.at[:, 9].set(tids)
+    tri_rows = slot16.reshape(l, leaf_size * 16)
+    if leaf_size < 4:
+        tri_rows = jnp.concatenate(
+            [tri_rows, jnp.zeros((l, (4 - leaf_size) * 16), jnp.float32)],
+            axis=1)
 
     return LBVHNodes(nodes=nodes, tri_rows=tri_rows,
                      num_leaves=jnp.int32(l))
@@ -257,13 +270,9 @@ def wide_arrays_from_lbvh(lb: LBVHNodes, leaf_size: int = 4):
     identity instance; the dynamic-scene path of the framework)."""
     from vortex_rt_tpu.ops.traverse_wide import WideArrays
 
-    inst = np.zeros((1, 16), np.float32)
-    inst[0, 0] = inst[0, 5] = inst[0, 10] = 1.0  # identity inverse 3x4
-    inst[0, 12] = np.int32(1).view(np.float32)   # BLAS root = merged node 1
     return WideArrays(
         nodes=lb.nodes,
         tri_rows=lb.tri_rows,
-        inst_rows=jnp.asarray(inst),
         num_tlas=1,
         max_leaf_tris=leaf_size,
         depth=62,  # static trail budget; Karras depth is data-dependent

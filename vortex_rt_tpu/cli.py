@@ -70,6 +70,9 @@ def main(argv=None) -> int:
 
         tracer = enable_tracing()
 
+    from vortex_rt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     sc = build_scene(args.model)
     sb = sc.build()
     aspect = args.width / args.height

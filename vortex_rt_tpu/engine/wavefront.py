@@ -413,10 +413,13 @@ class WavefrontRenderer:
         w = width or self.config.width
         h = height or self.config.height
         if mode == "auto":
-            on_tpu = jax.default_backend() not in ("cpu",)
-            mode = ("chunked" if on_tpu and self.table.anyhit is None
-                    and self.table is _same_default(self.table)
-                    else "fused")
+            # fused (one XLA program per frame) measures fastest end-to-end:
+            # after any device->host transfer the axon runtime enters a
+            # synchronous mode where EVERY dispatch costs ~2.5 ms, which
+            # taxes the chunked mode's ~45 dispatches/frame; inside the
+            # fused program, 4096-ray lax.map chunks still let dead chunks
+            # exit their traversal loops early
+            mode = "fused"
         if mode == "chunked":
             return self._render_chunked(cam, params, w, h)
         img, nrays, _ = render_wavefront(

@@ -83,9 +83,11 @@ _LEFT_MASK = (1 << _LEFT_BITS) - 1
 class WideArrays:
     """Packed wide TLAS+BLAS pool + slot-ordered triangle/instance rows."""
 
-    nodes: jnp.ndarray      # (N, 16) u32 packed node records
-    tri_rows: jnp.ndarray   # (T, 16) f32: v0, e1, e2, tid(bits), pad
-    inst_rows: jnp.ndarray  # (I, 16) f32: inv 3x4 row-major, root(bits), pad
+    nodes: jnp.ndarray      # (N, 32) u32 packed node records; instance
+                            # leaves carry their inverse transform + BLAS
+                            # root inline in words 16..28
+    tri_rows: jnp.ndarray   # (L, 64) f32: one row per tri leaf = up to 4x
+                            # (v0, e1, e2, tid(bits), pad) 16-float slots
     num_tlas: int = dataclasses.field(metadata=dict(static=True))
     max_leaf_tris: int = dataclasses.field(metadata=dict(static=True))
     depth: int = dataclasses.field(metadata=dict(static=True))
@@ -128,12 +130,11 @@ class WideArrays:
                         axis=-1).reshape(-1, WIDTH * 3).astype(np.uint8)
 
     @property
-    def slot_tri(self) -> np.ndarray:
-        return np.asarray(self.tri_rows[:, 9]).view(np.int32)
-
-    @property
-    def inst_root(self) -> np.ndarray:
-        return np.asarray(self.inst_rows[:, 12]).view(np.int32)
+    def leaf_tids(self) -> np.ndarray:
+        """(L, slots) global tri id per leaf slot (-1 = empty)."""
+        r = np.asarray(self.tri_rows)
+        return np.stack([r[:, 16 * c + 9] for c in range(r.shape[1] // 16)],
+                        axis=1).view(np.int32)
 
     @staticmethod
     def from_scene(sb: SceneBuffers) -> "WideArrays":
@@ -170,10 +171,43 @@ class WideArrays:
         ).astype(np.int64)
         leaf = cat(wt.leaf_data, wb.leaf_data).astype(np.int64)
         n = origin.shape[0]
-        assert (left >= 0).all() and (left < (1 << _LEFT_BITS)).all(), \
-            "node/tri pool exceeds 26-bit left_first budget"
 
-        nodes = np.zeros((n, 16), np.uint32)
+        max_leaf = max(int(sb.bvh_count.max()), 1)
+
+        # ---- one packed row per triangle leaf (row gathers cost per ROW
+        # on this hardware, so a whole leaf costs one gather) ----
+        is_leaf = kind == qbvh.KIND_TRIS
+        leaf_ids = np.nonzero(is_leaf)[0]
+        n_leaves = max(len(leaf_ids), 1)
+        first = left[leaf_ids].astype(np.int64)
+        cnt = leaf[leaf_ids].astype(np.int64)
+        lmax = max(max_leaf, 4)
+        slots = np.clip(first[:, None] + np.arange(lmax)[None, :], 0,
+                        sb.bvh_tri_idx.shape[0] - 1)
+        valid = np.arange(lmax)[None, :] < cnt[:, None]
+        tid = sb.bvh_tri_idx[slots].astype(np.int32)
+        v0 = sb.v0[tid]
+        e1 = sb.v1[tid] - v0
+        e2 = sb.v2[tid] - v0
+        zero = ~valid[..., None]
+        v0 = np.where(zero, 0.0, v0)
+        e1 = np.where(zero, 0.0, e1)  # degenerate: |a| < eps, never hits
+        e2 = np.where(zero, 0.0, e2)
+        tri_rows = np.zeros((n_leaves, 16 * lmax), np.float32)
+        for c in range(lmax):
+            tri_rows[: len(leaf_ids), 16 * c : 16 * c + 3] = v0[:, c]
+            tri_rows[: len(leaf_ids), 16 * c + 3 : 16 * c + 6] = e1[:, c]
+            tri_rows[: len(leaf_ids), 16 * c + 6 : 16 * c + 9] = e2[:, c]
+            tri_rows[: len(leaf_ids), 16 * c + 9] = np.where(
+                valid[:, c], tid[:, c], -1).astype(np.int32).view(np.float32)
+        # rebase tri-leaf left_first to the leaf-row index
+        leaf_row_of = np.zeros(n, np.int64)
+        leaf_row_of[leaf_ids] = np.arange(len(leaf_ids))
+        left = np.where(is_leaf, leaf_row_of, left)
+        assert (left >= 0).all() and (left < (1 << _LEFT_BITS)).all(), \
+            "node/leaf pool exceeds 26-bit left_first budget"
+
+        nodes = np.zeros((n, 32), np.uint32)
         nodes[:, 0:3] = origin.view(np.uint32)
         nodes[:, 3:6] = scale.view(np.uint32)
         for c in range(WIDTH):
@@ -184,28 +218,21 @@ class WideArrays:
         nodes[:, 14] = (left.astype(np.uint32)
                         | (nchild << _LEFT_BITS) | (kind << 29))
         nodes[:, 15] = leaf.astype(np.uint32)
+        # instance leaves carry their inverse transform + BLAS root inline
+        is_inst = kind == qbvh.KIND_INSTANCE
+        iids = left[is_inst].astype(np.int64)
+        nodes[is_inst, 16:28] = sb.inst_inv_transform[iids, :3, :].reshape(
+            -1, 12).astype(np.float32).view(np.uint32)
+        nodes[is_inst, 28] = inst_root[iids].view(np.uint32)
 
         depth = int(wt.depth + wb.depth)
         assert depth < 63, f"combined BVH depth {depth} exceeds trail budget"
 
-        t = sb.bvh_tri_idx.shape[0]
-        tri_rows = np.zeros((t, 16), np.float32)
-        tri_rows[:, 0:3] = sb.v0[sb.bvh_tri_idx]
-        tri_rows[:, 3:6] = sb.v1[sb.bvh_tri_idx] - sb.v0[sb.bvh_tri_idx]
-        tri_rows[:, 6:9] = sb.v2[sb.bvh_tri_idx] - sb.v0[sb.bvh_tri_idx]
-        tri_rows[:, 9] = sb.bvh_tri_idx.astype(np.int32).view(np.float32)
-
-        n_inst = inst_root.shape[0]
-        inst_rows = np.zeros((n_inst, 16), np.float32)
-        inst_rows[:, 0:12] = sb.inst_inv_transform[:, :3, :].reshape(n_inst, 12)
-        inst_rows[:, 12] = inst_root.view(np.float32)
-
         return WideArrays(
             nodes=jnp.asarray(nodes),
             tri_rows=jnp.asarray(tri_rows),
-            inst_rows=jnp.asarray(inst_rows),
             num_tlas=int(k),
-            max_leaf_tris=max(int(sb.bvh_count.max()), 1),
+            max_leaf_tris=max_leaf,
             depth=depth,
         )
 
@@ -434,8 +461,7 @@ def trace_lanes(
         state = init_state_lanes(ox, oy, oz, dx, dy, dz, t_max)
     ivx, ivy, ivz = _rcp_lane(dx), _rcp_lane(dy), _rcp_lane(dz)
     n_pool = int(wa.nodes.shape[0])
-    n_tri = int(wa.tri_rows.shape[0])
-    n_inst = int(wa.inst_rows.shape[0])
+    n_leaf_rows = int(wa.tri_rows.shape[0])
     lmax = max(int(wa.max_leaf_tris), 1)
     eps = jnp.float32(MT_EPSILON)
 
@@ -446,12 +472,16 @@ def trace_lanes(
     def body(s: WideState) -> WideState:
         active = ~s.done & ~s.suspended
         node = jnp.clip(s.node, 0, n_pool - 1)
-        row = _gather_rows(wa.nodes, node)         # (R, 16) — THE node gather
-        meta = row[:, 14]
+        row = _gather_rows(wa.nodes, node)         # (R, 32) — THE node gather
+        # one fused relayout: column extracts from a gathered (R, W) array
+        # cost ~0.03 ms EACH on this hardware; a single transpose then row
+        # slices is ~12x cheaper for a fully-consumed record
+        rowt = row.T                                # (32, R)
+        meta = rowt[14]
         kind = (meta >> 29).astype(jnp.int32)
         nch = ((meta >> _LEFT_BITS) & 7).astype(jnp.int32)
         left = (meta & _LEFT_MASK).astype(jnp.int32)
-        leaf_data = _bitcast_i32(row[:, 15])
+        leaf_data = _bitcast_i32(rowt[15])
         is_int = active & (kind == qbvh.KIND_INTERNAL)
         is_tri = active & (kind == qbvh.KIND_TRIS)
         is_ins = active & (kind == qbvh.KIND_INSTANCE)
@@ -472,14 +502,14 @@ def trace_lanes(
         riz = jnp.where(in_tlas, ivz, s.liz)
 
         # ================= internal node =================
-        gx, gy, gz = (_bitcast_f32(row[:, 0]), _bitcast_f32(row[:, 1]),
-                      _bitcast_f32(row[:, 2]))
-        sx, sy, sz = (_bitcast_f32(row[:, 3]), _bitcast_f32(row[:, 4]),
-                      _bitcast_f32(row[:, 5]))
+        gx, gy, gz = (_bitcast_f32(rowt[0]), _bitcast_f32(rowt[1]),
+                      _bitcast_f32(rowt[2]))
+        sx, sy, sz = (_bitcast_f32(rowt[3]), _bitcast_f32(rowt[4]),
+                      _bitcast_f32(rowt[5]))
         dists, idxs = [], []
         for c in range(WIDTH):
-            ql = row[:, 6 + c]
-            qh = row[:, 10 + c]
+            ql = rowt[6 + c]
+            qh = rowt[10 + c]
             lx = gx + (ql & 255).astype(jnp.float32) * sx
             ly = gy + ((ql >> 8) & 255).astype(jnp.float32) * sy
             lz = gz + ((ql >> 16) & 255).astype(jnp.float32) * sz
@@ -534,11 +564,12 @@ def trace_lanes(
                           descend & (remaining == 1))
 
         # ================= instance leaf =================
-        iid = jnp.clip(left, 0, n_inst - 1)
-        irow = _gather_rows(wa.inst_rows, iid)     # (R, 16)
-        m00, m01, m02, m03 = irow[:, 0], irow[:, 1], irow[:, 2], irow[:, 3]
-        m10, m11, m12, m13 = irow[:, 4], irow[:, 5], irow[:, 6], irow[:, 7]
-        m20, m21, m22, m23 = irow[:, 8], irow[:, 9], irow[:, 10], irow[:, 11]
+        # inverse transform + BLAS root live inline in the node row
+        iid = left
+        mm = [_bitcast_f32(rowt[16 + k]) for k in range(12)]
+        m00, m01, m02, m03 = mm[0], mm[1], mm[2], mm[3]
+        m10, m11, m12, m13 = mm[4], mm[5], mm[6], mm[7]
+        m20, m21, m22, m23 = mm[8], mm[9], mm[10], mm[11]
         nlox = m00 * ox + m01 * oy + m02 * oz + m03
         nloy = m10 * ox + m11 * oy + m12 * oz + m13
         nloz = m20 * ox + m21 * oy + m22 * oz + m23
@@ -555,13 +586,12 @@ def trace_lanes(
         lix = jnp.where(is_ins, _rcp_lane(nldx), s.lix)
         liy = jnp.where(is_ins, _rcp_lane(nldy), s.liy)
         liz = jnp.where(is_ins, _rcp_lane(nldz), s.liz)
-        next_ins = _bitcast_i32(irow[:, 12])
+        next_ins = _bitcast_i32(rowt[28])
 
         # ================= triangle leaf =================
-        slots = jnp.clip(left[:, None] + jnp.arange(lmax)[None, :],
-                         0, n_tri - 1)
-        trows = _gather_rows(wa.tri_rows,
-                             slots.reshape(-1)).reshape(r, lmax, 16)
+        # one 256-byte row carries the whole leaf (up to 4 triangles)
+        lrow = _gather_rows(wa.tri_rows,
+                            jnp.clip(left, 0, n_leaf_rows - 1)).T  # (64, R)
         cnt = leaf_data
 
         if suspend:
@@ -577,11 +607,11 @@ def trace_lanes(
             w2_sel = jnp.zeros(r, jnp.float32)
 
         for c in range(lmax):
-            rc = trows[:, c, :]
-            v0x, v0y, v0z = rc[:, 0], rc[:, 1], rc[:, 2]
-            e1x, e1y, e1z = rc[:, 3], rc[:, 4], rc[:, 5]
-            e2x, e2y, e2z = rc[:, 6], rc[:, 7], rc[:, 8]
-            tid = _bitcast_i32(rc[:, 9])
+            b0 = 16 * c
+            v0x, v0y, v0z = lrow[b0], lrow[b0 + 1], lrow[b0 + 2]
+            e1x, e1y, e1z = lrow[b0 + 3], lrow[b0 + 4], lrow[b0 + 5]
+            e2x, e2y, e2z = lrow[b0 + 6], lrow[b0 + 7], lrow[b0 + 8]
+            tid = _bitcast_i32(lrow[b0 + 9])
             # Moller-Trumbore on lanes (rt_traversal.cpp:263-316)
             hx_ = ldy_ * e2z - ldz_ * e2y
             hy_ = ldz_ * e2x - ldx_ * e2z
