@@ -23,23 +23,43 @@ def main() -> None:
     enable_persistent_cache()
 
     from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
-    from vortex_rt_tpu.models.procedural import cornell_box, random_soup
+    from vortex_rt_tpu.models.procedural import cornell_box
     from vortex_rt_tpu.models.scene import RenderParams, Scene
     from vortex_rt_tpu.utils.config import RTConfig
 
-    # benchmark scene: cornell box + a dense 20k-tri soup, 256x256,
-    # 2 bounces (a mid-ladder BASELINE.json config)
-    rng = np.random.default_rng(0)
+    # benchmark scene (BASELINE.json config 2 ladder): Cornell box with
+    # structured geometry inside (reference teapot asset when present,
+    # procedural spheres otherwise), 512x512, 2 bounces
+    import os
+
+    from vortex_rt_tpu.models.procedural import uv_sphere
+    from vortex_rt_tpu.utils import vecmath as vm
+
     sc = Scene()
     for mesh, refl in cornell_box():
         i = sc.add_mesh(mesh)
         sc.add_instance(i, reflectivity=refl)
-    soup = sc.add_mesh(random_soup(rng, 20_000, extent=0.8, tri_size=0.05))
-    sc.add_instance(soup)
+    teapot = "/root/reference/tests/regression/raytracing/assets/teapot.obj"
+    if os.path.exists(teapot):
+        from vortex_rt_tpu.io.obj import load_obj
+
+        m = sc.add_mesh(load_obj(teapot))
+        lo, hi = sc._meshes[m].aabb()
+        s_fit = 0.9 / max(float((hi - lo).max()), 1e-6)
+        center = (lo + hi) * 0.5
+        sc.add_instance(m, vm.mat4_translate([0.0, -0.4, 0.0])
+                        @ vm.mat4_scale(s_fit)
+                        @ vm.mat4_translate(-center))
+    else:
+        m = sc.add_mesh(uv_sphere((0, -0.3, 0), 0.35, 24, 48))
+        sc.add_instance(m)
     sb = sc.build()
 
-    width = height = 256
-    cam = Scene.framing_camera(sb, 45.0, 1.0)
+    width = height = 512
+    from vortex_rt_tpu.models.scene import Camera
+
+    cam = Camera.look_at([0.05, 0.02, -3.2], [0.0, -0.05, 0.0], [0, 1, 0],
+                         45.0, 1.0)
     params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2)
     r = WavefrontRenderer.from_buffers(sb)
 
@@ -57,7 +77,7 @@ def main() -> None:
 
     mrays = total_rays / dt / 1e6
     print(json.dumps({
-        "metric": "Mrays/s (wavefront, 256x256, 2-bounce, ~20k tris)",
+        "metric": "Mrays/s (wavefront+packets, cornell+teapot ~6k tris, 512x512, 2-bounce)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),

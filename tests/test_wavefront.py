@@ -142,7 +142,10 @@ def test_chunked_mode_matches_fused():
     path (only compilation structure differs)."""
     sc = _cornell_scene()
     sb = sc.build()
-    r = WavefrontRenderer.from_buffers(sb, CFG)
+    # packet_size=0 so both modes use the per-ray engine (the comparison
+    # gates orchestration equivalence, not cross-engine ULP seam noise)
+    r = WavefrontRenderer.from_buffers(
+        sb, RTConfig(lanes=512, packet_size=0))
     cam = Camera.look_at([0.11, 0.07, -3.2], [0.02, -0.01, 0], [0, 1, 0],
                          45.0, 1.0)
     params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=3)

@@ -54,6 +54,9 @@ class RTConfig:
                                 # analog); 4096 is the measured fast-path batch
                                 # on v5e — larger chunks fall off a >100x
                                 # compiler cliff (see ops/traverse_wide.py)
+    packet_size: int = 128      # rays per traversal packet (0 = per-ray
+                                # engine); packets share one node walk —
+                                # measured ~5x on coherent pools
     queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
     trav_chunk: int = 64        # traversal steps between shader-regroup points
     max_waves: int = 64         # upper bound on regroup iterations per frame
