@@ -141,3 +141,23 @@ def test_textured_quad():
     # both checker colors appear
     assert (center[..., 0] > 0.5).any()
     assert (center[..., 2] > 0.5).any()
+
+
+def test_arrange_around_y():
+    from vortex_rt_tpu.models.procedural import box
+
+    sc = Scene()
+    for _ in range(4):
+        i = sc.add_mesh(box((0, 0, 0), 1.0))
+        sc.add_instance(i)
+    sc.arrange_around_y(margin=0.1)
+    sb = sc.build()
+    centers = (sb.inst_aabb_min + sb.inst_aabb_max) / 2
+    # all on a circle around Y: equal radii, distinct angles
+    r = np.hypot(centers[:, 0], centers[:, 2])
+    assert np.allclose(r, r[0], rtol=1e-5) and r[0] > 1.0
+    # pairwise separation: no overlapping footprints
+    for i in range(4):
+        for j in range(i + 1, 4):
+            d = np.hypot(*(centers[i, [0, 2]] - centers[j, [0, 2]]))
+            assert d > 1.9  # 2 * half-extent(1.0) with margin

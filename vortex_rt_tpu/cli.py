@@ -31,10 +31,17 @@ def build_scene(model: str):
         sc.add_mesh(uv_sphere((0, 0, 0), 1.0, 24, 48))
     elif model == "soup":
         sc.add_mesh(random_soup(np.random.default_rng(0), 2000))
-    elif model.endswith(".obj"):
-        from vortex_rt_tpu.io.obj import load_obj_scene
+    elif all(m.strip().endswith(".obj") for m in model.split(",")):
+        # one or more OBJ files; multiple get arranged on a circle like
+        # the reference (scene.cpp arrangeMeshesAroundY)
+        from vortex_rt_tpu.io.obj import load_obj
 
-        load_obj_scene(model, sc)
+        names = [m.strip() for m in model.split(",")]
+        for name in names:
+            mi = sc.add_mesh(load_obj(name))
+            sc.add_instance(mi)
+        if len(names) > 1:
+            sc.arrange_around_y()
     else:
         raise SystemExit(f"unknown model {model!r}")
     return sc
