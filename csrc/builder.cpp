@@ -157,12 +157,15 @@ struct Builder {
         }
         float ex = cmx.x - cmn.x, ey = cmx.y - cmn.y, ez = cmx.z - cmn.z;
         int a = (ex >= ey && ex >= ez) ? 0 : (ey >= ez ? 1 : 2);
-        if (axis_of(cmx, a) <= axis_of(cmn, a)) continue;  // degenerate
+        // identical centroids still split by index: consumers rely on
+        // leaves respecting max_leaf (TLAS instance leaves hold ONE)
+        if (axis_of(cmx, a) > axis_of(cmn, a)) {
+          std::stable_sort(order.begin() + lo, order.begin() + hi,
+                           [&](int s, int t) {
+                             return axis_of(cen[s], a) < axis_of(cen[t], a);
+                           });
+        }
         mid = lo + n / 2;
-        std::stable_sort(order.begin() + lo, order.begin() + hi,
-                         [&](int s, int t) {
-                           return axis_of(cen[s], a) < axis_of(cen[t], a);
-                         });
       }
       int l = push(lo, mid);
       push(mid, hi);

@@ -167,3 +167,23 @@ def test_reference_teapot_renders():
     bg = np.asarray(RenderParams().background_color)
     fg = (np.abs(img - bg).max(-1) > 1e-3).mean()
     assert 0.05 < fg < 0.95
+
+
+def test_faces_before_usemtl_get_default_material(tmp_path):
+    _write_obj(tmp_path / "m.mtl", """
+newmtl glass
+Kd 0 0 1
+""")
+    _write_obj(tmp_path / "pre.obj", """
+mtllib m.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+f 1 2 3
+usemtl glass
+f 3 2 1
+""")
+    m = load_obj(str(tmp_path / "pre.obj"))
+    # face 0 gets the default gray material, not glass
+    assert m.materials[m.mat_id[0]].diffuse == (0.8, 0.8, 0.8)
+    assert m.materials[m.mat_id[1]].diffuse == (0.0, 0.0, 1.0)

@@ -230,3 +230,24 @@ def test_wide_matches_binary_engine(rng):
     hw, _, _ = trace_rays_wide(wa, o, d)
     np.testing.assert_allclose(np.asarray(hw.dist), np.asarray(h2.dist),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_coincident_instance_centroids_all_hit():
+    """Instances whose world-AABB centroids coincide must all stay
+    hittable (regression: oversize TLAS leaves silently dropped all but
+    the first instance)."""
+    sc = Scene()
+    qz = sc.add_mesh(quad((-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0)))
+    qx = sc.add_mesh(quad((0, -1, -1), (0, 1, -1), (0, 1, 1), (0, -1, 1)))
+    sc.add_instance(qz)
+    sc.add_instance(qx)
+    sb = sc.build()
+    o = np.array([[0.3, 0.1, -3.0],   # hits only the z=0 quad
+                  [-3.0, 0.1, 0.3]],  # hits only the x=0 quad
+                 np.float32)
+    d = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]], np.float32)
+    _check_parity(sb, o, d)
+    wa = WideArrays.from_scene(sb)
+    hits, _, _ = trace_rays_wide(wa, o, d)
+    assert (np.asarray(hits.dist) < LARGE_FLOAT).all()
+    assert np.asarray(hits.inst).tolist() == [0, 1]

@@ -177,14 +177,16 @@ def build_bvh2_aabbs(
         if split is None:
             # forced median split on the widest centroid axis to respect
             # max_leaf_tris (reference TLAS does the same fallback,
-            # bvh.cpp:372-384); give up only if centroids are identical
+            # bvh.cpp:372-384).  Even with IDENTICAL centroids we must
+            # split by index: consumers (TLAS instance leaves, qbvh
+            # collapse) rely on leaves respecting max_leaf_tris — an
+            # oversize TLAS leaf would silently drop instances.
             ext = cen[sel].max(0) - cen[sel].min(0)
             axis = int(np.argmax(ext))
-            if ext[axis] <= 0:
-                continue  # truly degenerate: keep as (oversize) leaf
-            med = np.argsort(cen[sel, axis], kind="stable")
+            if ext[axis] > 0:
+                med = np.argsort(cen[sel, axis], kind="stable")
+                order[lo:hi] = sel[med]
             mid = n // 2
-            order[lo:hi] = sel[med]
             l = _push(lo, mid + lo)
             _push(mid + lo, hi)
         else:

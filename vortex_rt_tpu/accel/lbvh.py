@@ -275,7 +275,12 @@ def wide_arrays_from_lbvh(lb: LBVHNodes, leaf_size: int = 4):
         tri_rows=lb.tri_rows,
         num_tlas=1,
         max_leaf_tris=leaf_size,
-        depth=62,  # static trail budget; Karras depth is data-dependent
+        # Karras tree depth is bounded by the augmented-key prefix length:
+        # delta strictly increases along any root->leaf path and
+        # delta <= 32 + ceil(log2(l)) <= 58 for l < 2^26 leaves, so 62
+        # covers every buildable tree (the build asserts l < 2^26 via the
+        # 26-bit left_first budget)
+        depth=62,
     )
 
 

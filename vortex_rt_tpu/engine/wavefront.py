@@ -56,10 +56,31 @@ from vortex_rt_tpu.utils.config import COMMIT_CONT, LARGE_FLOAT, RTConfig
 from vortex_rt_tpu.utils.trace import maybe_span
 
 
+def tile_pixel_perm(width: int, height: int, tile_w: int = 16,
+                    tile_h: int = 8) -> Optional[np.ndarray]:
+    """Pool-position -> image-pixel-id permutation that lays pixels out
+    tile-major, so each 128-ray packet is a compact 16x8 pixel tile
+    instead of a thin image row — the reference's 8x8 tile-to-core mapping
+    (kernel.cpp:128-133) reborn as packet-coherence layout.  Returns None
+    when the frame doesn't divide into tiles (callers fall back to
+    row-major)."""
+    if width % tile_w or height % tile_h:
+        return None
+    ty, tx = np.meshgrid(np.arange(height // tile_h),
+                         np.arange(width // tile_w), indexing="ij")
+    py, px = np.meshgrid(np.arange(tile_h), np.arange(tile_w), indexing="ij")
+    # (tiles_y, tiles_x, tile_h, tile_w) -> flat pixel ids
+    yy = ty[:, :, None, None] * tile_h + py[None, None]
+    xx = tx[:, :, None, None] * tile_w + px[None, None]
+    return (yy * width + xx).reshape(-1).astype(np.int32)
+
+
 def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
-                  key, n_pix: int = None, pix_offset=0
+                  key, n_pix: int = None, pix_offset=0,
+                  pix_perm: Optional[jnp.ndarray] = None
                   ) -> Tuple[jnp.ndarray, ...]:
-    """Primary rays for the pool: R = n_pix*spp lanes, pixel-major.
+    """Primary rays for the pool: R = n_pix*spp lanes, pixel-major (or
+    permuted by ``pix_perm`` for tile-major packet coherence).
 
     ``pix_offset`` shifts the (row-major) pixel ids — used by the
     multi-chip tiled path where each device renders a row block.
@@ -69,7 +90,11 @@ def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
     if n_pix is None:
         n_pix = width * height
     r = n_pix * spp
-    pix = pix_offset + jnp.arange(r, dtype=jnp.int32) // spp
+    base = jnp.arange(r, dtype=jnp.int32) // spp
+    if pix_perm is not None:
+        pix = pix_offset + pix_perm[base]
+    else:
+        pix = pix_offset + base
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     if spp == 1:
@@ -159,7 +184,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                n_pix: int, pix_offset,
                max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                table: ShaderTable = None, seed: int = 0,
-               packet: int = 128):
+               packet: int = 128, pix_perm=None):
     """Traceable wavefront frame over ``n_pix`` row-major pixels starting
     at ``pix_offset``.  Returns ((n_pix, 3) radiance, rays, steps).
     Used by render_wavefront (whole frame) and parallel.tiles (row block
@@ -179,7 +204,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     r = ((n_real + chunk - 1) // chunk) * chunk
     key = jax.random.PRNGKey(seed)
     ox, oy, oz, dx, dy, dz, pix = _camera_lanes(
-        cam, width, height, spp, key, n_pix=n_pix, pix_offset=pix_offset)
+        cam, width, height, spp, key, n_pix=n_pix, pix_offset=pix_offset,
+        pix_perm=pix_perm)
 
     def pad(a, fill=0):
         return jnp.concatenate(
@@ -200,9 +226,17 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 
     for bounce in range(max_depth):
         if bounce > 0:
-            # ---- compaction: alive-first stable partition (the
-            # ShaderQueue regrouping analog) ----
-            order = jnp.argsort(~alive, stable=True)
+            # ---- compaction + re-packeting (the ShaderQueue regrouping
+            # analog): alive rays first, grouped by direction octant and
+            # origin tile so bounce packets stay coherent ----
+            octant = ((dx < 0).astype(jnp.int32) * 4
+                      + (dy < 0).astype(jnp.int32) * 2
+                      + (dz < 0).astype(jnp.int32))
+            key = jnp.where(alive,
+                            octant * (r // 8 + 1) + slot // max(packet, 1)
+                            if packet > 0 else octant,
+                            jnp.int32(2**30))
+            order = jnp.argsort(key, stable=True)
             (ox, oy, oz, dx, dy, dz, pix, slot, alive, rad_r, rad_g, rad_b,
              thr, bounce_ct) = (a[order] for a in (
                 ox, oy, oz, dx, dy, dz, pix, slot, alive, rad_r, rad_g,
@@ -259,6 +293,9 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         rad_r[:n_real].reshape(n_pix, spp).mean(1),
         rad_g[:n_real].reshape(n_pix, spp).mean(1),
         rad_b[:n_real].reshape(n_pix, spp).mean(1)], axis=-1)
+    if pix_perm is not None:
+        # scatter tile-major pool pixels back to image order
+        img = jnp.zeros_like(img).at[pix_perm].set(img)
     return img, rays_traced, steps_total
 
 
@@ -269,19 +306,30 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      light: LightArrays, width: int, height: int,
                      max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                      table: ShaderTable = None, seed: int = 0,
-                     packet: int = 128):
-    """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
+                     packet: int = 128, pix_perm=None):
+    """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps).
+    ``pix_perm`` (device arg, built by the wrapper below) lays pixels out
+    tile-major for packet coherence."""
     img, rays, steps = frame_body(
         wa, sa, cam, light, width, height, width * height, 0,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
-        packet=packet)
+        packet=packet, pix_perm=pix_perm)
     return img.reshape(height, width, 3), rays, steps
 
 
-def _same_default(table: ShaderTable) -> ShaderTable:
-    """The chunked path bakes the default shaders into _shade_pool_default;
-    only tables equal to the default can use it."""
-    return table if table == ShaderTable() else None
+def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
+                 chunk=4096, table=None, seed=0, packet=128,
+                 tile_w=16, tile_h=8):
+    """Host wrapper: builds the (static) tile permutation OUTSIDE the jit
+    and passes it as a device argument (a closed-over array would become a
+    multi-MB jaxpr constant — see the measured rules in traverse_wide)."""
+    perm = None
+    if packet > 0 and tile_w * tile_h == packet:
+        perm = tile_pixel_perm(width, height, tile_w, tile_h)
+    return render_wavefront(
+        wa, sa, cam, light, width, height, max_depth=max_depth, spp=spp,
+        chunk=chunk, table=table, seed=seed, packet=packet,
+        pix_perm=None if perm is None else jnp.asarray(perm))
 
 
 # ---------------------------------------------------------------------------
@@ -423,27 +471,30 @@ class WavefrontRenderer:
     def render(self, cam: Camera, params: RenderParams,
                width: Optional[int] = None, height: Optional[int] = None,
                mode: str = "auto") -> Tuple[np.ndarray, int]:
-        """mode: 'fused' = one-jit frame; 'chunked' = host-orchestrated
-        per-chunk dispatch (the TPU fast path); 'auto' picks chunked on
-        TPU backends with the default shader table."""
+        """mode: 'fused' = one-jit frame (the default and fastest:
+        after any device->host transfer the axon runtime enters a
+        synchronous mode where every dispatch costs ~2.5 ms, which taxes
+        the chunked mode's ~45 dispatches/frame); 'chunked' =
+        host-orchestrated per-chunk dispatch, kept for diagnosis and as
+        the pattern for external work queues.  'auto' = fused."""
         w = width or self.config.width
         h = height or self.config.height
         if mode == "auto":
-            # fused (one XLA program per frame) measures fastest end-to-end:
-            # after any device->host transfer the axon runtime enters a
-            # synchronous mode where EVERY dispatch costs ~2.5 ms, which
-            # taxes the chunked mode's ~45 dispatches/frame; inside the
-            # fused program, 4096-ray lax.map chunks still let dead chunks
-            # exit their traversal loops early
             mode = "fused"
         if mode == "chunked":
-            return self._render_chunked(cam, params, w, h)
-        img, nrays, _ = render_wavefront(
+            if self.table != ShaderTable():
+                # the chunked orchestrator shades with the default-table
+                # program only; custom shader tables run fused
+                mode = "fused"
+            else:
+                return self._render_chunked(cam, params, w, h)
+        img, nrays, _ = render_frame(
             self.wa, self.sa, CameraArrays.from_camera(cam),
             LightArrays.from_params(params), w, h,
             max_depth=params.max_depth, spp=params.spp,
             chunk=self.config.lanes, table=self.table,
-            packet=self.config.packet_size)
+            packet=self.config.packet_size,
+            tile_w=self.config.tile_w, tile_h=self.config.tile_h)
         return np.asarray(img), int(nrays)
 
     def _render_chunked(self, cam: Camera, params: RenderParams,

@@ -249,7 +249,7 @@ def load_obj(path: str) -> MeshData:
             vidx[i, j] = vi
             tidx[i, j] = -1 if ti is None else ti
             nidx[i, j] = -1 if ni is None else ni
-        mat_id[i] = max(m, 0)
+        mat_id[i] = m  # -1 = before any usemtl, rebased below
 
     v0, v1, v2 = pos[vidx[:, 0]], pos[vidx[:, 1]], pos[vidx[:, 2]]
     # normals: per-vertex where present, flat-face fallback (mesh.cpp)
@@ -269,6 +269,12 @@ def load_obj(path: str) -> MeshData:
         return out
 
     materials = [mat_lib.get(n, Material()) for n in mat_names] or [Material()]
+    if (mat_id < 0).any():
+        # faces before the first usemtl get a dedicated default material
+        # (the reference's loader does the same) rather than whatever
+        # material happens to be declared first
+        materials.append(Material())
+        mat_id = np.where(mat_id < 0, len(materials) - 1, mat_id)
     return make_mesh(
         v0, v1, v2,
         pick_n(0), pick_n(1), pick_n(2),

@@ -596,15 +596,10 @@ def trace_lanes(
 
         if suspend:
             barrier = (node == s.bar_leaf)
-            t_min = jnp.full(r, LARGE_FLOAT)
-            tid_sel = jnp.full(r, _INT_MAX)
-            w1_sel = jnp.zeros(r, jnp.float32)
-            w2_sel = jnp.zeros(r, jnp.float32)
-        else:
-            t_min = jnp.full(r, LARGE_FLOAT)
-            tid_sel = jnp.full(r, _INT_MAX)
-            w1_sel = jnp.zeros(r, jnp.float32)
-            w2_sel = jnp.zeros(r, jnp.float32)
+        t_min = jnp.full(r, LARGE_FLOAT)
+        tid_sel = jnp.full(r, _INT_MAX)
+        w1_sel = jnp.zeros(r, jnp.float32)
+        w2_sel = jnp.zeros(r, jnp.float32)
 
         for c in range(lmax):
             b0 = 16 * c

@@ -66,8 +66,9 @@ class RTConfig:
     height: int = 256
     spp: int = 1
     max_depth: int = 2          # bounce budget (reference -d flag)
-    tile_w: int = 8             # pixel tile (kernel.cpp:128-133 8x8 blocks)
-    tile_h: int = 8
+    tile_w: int = 16            # pixel tile per packet (the reference maps
+    tile_h: int = 8             # 8x8 blocks to cores, kernel.cpp:128-133;
+                                # tile_w*tile_h should equal packet_size)
 
     # ---- numerics ----
     epsilon: float = MT_EPSILON
