@@ -54,9 +54,10 @@ class RTConfig:
                                 # analog); 4096 is the measured fast-path batch
                                 # on v5e — larger chunks fall off a >100x
                                 # compiler cliff (see ops/traverse_wide.py)
-    packet_size: int = 128      # rays per traversal packet (0 = per-ray
+    packet_size: int = 256      # rays per traversal packet (0 = per-ray
                                 # engine); packets share one node walk —
-                                # measured ~5x on coherent pools
+                                # measured ~5x on coherent pools; 256 with
+                                # 16x16 tiles swept best on the bench scene
     queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
     trav_chunk: int = 64        # traversal steps between shader-regroup points
     max_waves: int = 64         # upper bound on regroup iterations per frame
@@ -67,7 +68,7 @@ class RTConfig:
     spp: int = 1
     max_depth: int = 2          # bounce budget (reference -d flag)
     tile_w: int = 16            # pixel tile per packet (the reference maps
-    tile_h: int = 8             # 8x8 blocks to cores, kernel.cpp:128-133;
+    tile_h: int = 16            # 8x8 blocks to cores, kernel.cpp:128-133;
                                 # tile_w*tile_h should equal packet_size)
 
     # ---- numerics ----
