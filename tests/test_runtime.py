@@ -139,3 +139,13 @@ def test_cli_perf_and_trace(tmp_path, capsys):
     assert out.exists() and tr.exists()
     text = capsys.readouterr().out
     assert "PERF:" in text and "mrays_per_s=" in text
+
+
+def test_cli_compare_flag(tmp_path, capsys):
+    from vortex_rt_tpu import cli
+
+    rc = cli.main(["-m", "sphere", "-w", "16", "-H", "16", "-d", "1",
+                   "--compare", "-o", str(tmp_path / "o.ppm")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "COMPARE: rmse=" in out and "PASS" in out

@@ -63,6 +63,9 @@ def main(argv=None) -> int:
     ap.add_argument("--perf", action="store_true", help="print perf counters")
     ap.add_argument("--trace-out", default=None,
                     help="write a Chrome/Perfetto trace JSON of the render")
+    ap.add_argument("--compare", action="store_true",
+                    help="also render on the CPU golden oracle and report "
+                         "the pixel RMSE (the reference's -c cross-check)")
     args = ap.parse_args(argv)
     for name in ("width", "height", "spp", "depth"):
         if getattr(args, name) < 1:
@@ -109,6 +112,20 @@ def main(argv=None) -> int:
     print(f"rendered {args.width}x{args.height} spp={args.spp} depth={args.depth} "
           f"model={args.model} engine={'cpu' if args.cpu else args.engine}: "
           f"{dt*1e3:.1f} ms, {nrays} rays, {mrays:.2f} Mrays/s -> {args.output}")
+    if args.compare and not args.cpu:
+        from vortex_rt_tpu.golden.renderer import render_golden
+        from vortex_rt_tpu.utils.image import rmse
+
+        gold = render_golden(sb, cam, params, args.width, args.height)
+        err = rmse(np.clip(img, 0, 1), np.clip(gold, 0, 1))
+        bad = (np.abs(np.clip(img, 0, 1)
+                      - np.clip(gold, 0, 1)).max(-1) > 1 / 255).mean()
+        # isolated exact-tie seam pixels may legitimately differ between
+        # compilations (see tests/test_megakernel.py); the gate is RMSE
+        # or, failing that, <1% differing pixels
+        ok = err <= 2e-3 or bad < 0.01
+        print(f"COMPARE: rmse={err:.6f} pixels_off={bad:.5f} "
+              f"({'PASS' if ok else 'FAIL'}: rmse<=2e-3 or <1% seam px)")
     if args.perf:
         # vx_dump_perf analog: scene + run statistics
         print(f"PERF: tris={sb.num_tris} instances={sb.num_instances} "
