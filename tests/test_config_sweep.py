@@ -54,4 +54,4 @@ def test_config_sweep_image_parity(cfg):
 def test_config_overrides():
     cfg = from_overrides(lanes=128, max_depth=5)
     assert cfg.lanes == 128 and cfg.max_depth == 5
-    assert RTConfig().lanes == 4096  # defaults untouched
+    assert RTConfig().lanes == 32768  # defaults untouched

@@ -201,7 +201,10 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         max_depth=max_depth)
 
     n_real = n_pix * spp
-    r = ((n_real + chunk - 1) // chunk) * chunk
+    # pool padding: packet mode only needs packet-multiples; the per-ray
+    # path chunks by `chunk`
+    quantum = packet if (packet > 0 and table.anyhit is None) else chunk
+    r = ((n_real + quantum - 1) // quantum) * quantum
     key = jax.random.PRNGKey(seed)
     ox, oy, oz, dx, dy, dz, pix = _camera_lanes(
         cam, width, height, spp, key, n_pix=n_pix, pix_offset=pix_offset,
@@ -246,10 +249,30 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         if packet > 0 and table.anyhit is None and r % packet == 0:
             o3 = jnp.stack([ox, oy, oz], axis=1)
             d3 = jnp.stack([dx, dy, dz], axis=1)
-            hits_p, steps = trace_packets(wa, o3, d3, packet=packet,
-                                          active=alive)
-            dist, bx, by = hits_p.dist, hits_p.bx, hits_p.by
-            tri, inst = hits_p.tri, hits_p.inst
+            # group packets so finished groups exit their traversal loop
+            # early instead of waiting on the global max (lockstep waste)
+            if chunk % packet == 0 and r % chunk == 0 and r > chunk:
+                c = r // chunk
+
+                def gbody(args):
+                    oo, dd, aa = args
+                    h, st = trace_packets(wa, oo, dd, packet=packet,
+                                          active=aa)
+                    return h.dist, h.bx, h.by, h.tri, h.inst, st
+
+                outs = jax.lax.map(
+                    gbody, (o3.reshape(c, chunk, 3),
+                            d3.reshape(c, chunk, 3),
+                            alive.reshape(c, chunk)))
+                dist, bx, by = (outs[0].reshape(r), outs[1].reshape(r),
+                                outs[2].reshape(r))
+                tri, inst = outs[3].reshape(r), outs[4].reshape(r)
+                steps = outs[5].sum()
+            else:
+                hits_p, steps = trace_packets(wa, o3, d3, packet=packet,
+                                              active=alive)
+                dist, bx, by = hits_p.dist, hits_p.bx, hits_p.by
+                tri, inst = hits_p.tri, hits_p.inst
         else:
             dist, bx, by, tri, inst, steps = _trace_pool(
                 wa, sa, ctx, table, (ox, oy, oz, dx, dy, dz), alive,

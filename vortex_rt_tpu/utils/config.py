@@ -50,10 +50,10 @@ class RTConfig:
     use_native_build: bool = True  # csrc/ C++ builder when available
 
     # ---- wavefront engine (RTU analog) ----
-    lanes: int = 4096           # rays per dense traversal chunk (NUM_RTU_LANES
-                                # analog); 4096 is the measured fast-path batch
-                                # on v5e — larger chunks fall off a >100x
-                                # compiler cliff (see ops/traverse_wide.py)
+    lanes: int = 32768          # rays per traversal group (NUM_RTU_LANES
+                                # analog): packet groups of lanes/packet_size
+                                # packets exit their loops independently,
+                                # capping lockstep waste (measured sweep)
     packet_size: int = 256      # rays per traversal packet (0 = per-ray
                                 # engine); packets share one node walk —
                                 # measured ~5x on coherent pools; 256 with
