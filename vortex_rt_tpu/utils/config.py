@@ -59,8 +59,8 @@ class RTConfig:
                                 # measured ~5x on coherent pools; 256 with
                                 # 16x16 tiles swept best on the bench scene
     queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
-    trav_chunk: int = 64        # traversal steps between shader-regroup points
-    max_waves: int = 64         # upper bound on regroup iterations per frame
+                                # — reserved; the RTU facade's host queues
+                                # and the wavefront pool are unbounded
 
     # ---- render parameters (kernel_arg_t analog, raytracing/common.h:164) ----
     width: int = 256
