@@ -169,8 +169,35 @@ def render_tiled_wavefront(sb_host: SceneBuffers, cam: Camera,
 
 
 def dryrun(n_devices: int) -> None:
-    """Driver hook: full multi-chip render step on tiny shapes."""
+    """Driver hook: full multi-chip render step on tiny shapes.
+
+    Defensive platform forcing: the axon TPU plugin ignores
+    JAX_PLATFORMS=cpu (it registers via PYTHONPATH), so a harness that
+    sets up a virtual CPU mesh through env vars can still land on the
+    single real chip.  If the backend isn't initialized yet, force the
+    CPU platform + n virtual devices ourselves."""
+    import os
+
+    try:
+        import jax._src.xla_bridge as _xb
+
+        initialized = _xb._backends != {}
+    except Exception:
+        initialized = True
+    if not initialized:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={n_devices}"
+            ).strip()
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     devs = jax.devices()[:n_devices]
+    assert len(devs) >= n_devices, (
+        f"need {n_devices} devices, have {len(devs)}")
     mesh = Mesh(np.array(devs), ("tiles",))
 
     from vortex_rt_tpu.models.procedural import cornell_box
