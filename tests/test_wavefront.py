@@ -154,3 +154,33 @@ def test_chunked_mode_matches_fused():
     assert n_fused == n_chunk
     bad = np.abs(i_fused - i_chunk).max(-1) > 1e-4
     assert bad.mean() < 0.01  # only seam-tie pixels may differ
+
+
+def test_shadow_rays_match_golden():
+    """BASELINE config-2 ladder: occlusion-tested direct lighting."""
+    from vortex_rt_tpu.models.procedural import quad
+
+    sc = Scene()
+    # floor (upward normal) + an occluder between the light and the floor
+    sc.add_mesh(quad((-2, 0, -2), (-2, 0, 2), (2, 0, 2), (2, 0, -2)))
+    sc.add_mesh(quad((-0.5, 1.0, -0.5), (0.5, 1.0, -0.5),
+                     (0.5, 1.0, 0.5), (-0.5, 1.0, 0.5)))
+    sb = sc.build()
+    r = WavefrontRenderer.from_buffers(sb, CFG)
+    cam = Camera.look_at([0.3, 2.5, -3.0], [0, 0, 0], [0, 1, 0], 50.0, 1.0)
+    params_on = RenderParams(light_pos=(0, 3, 0), max_depth=1, shadow=True)
+    params_off = RenderParams(light_pos=(0, 3, 0), max_depth=1, shadow=False)
+
+    img_on, nrays_on = r.render(cam, params_on, 32, 32)
+    img_off, nrays_off = r.render(cam, params_off, 32, 32)
+    assert nrays_on > nrays_off  # shadow rays were traced
+    # a shadowed region exists and is darker than without shadows
+    assert (img_on <= img_off + 1e-6).all()
+    assert (img_off - img_on).max() > 0.05
+
+    from vortex_rt_tpu.golden.renderer import render_golden
+
+    gold = render_golden(sb, cam, params_on, 32, 32,
+                         rays=_device_rays(cam, 32, 32))
+    bad = np.abs(img_on - gold).max(-1) > 1e-4
+    assert bad.mean() < 0.02

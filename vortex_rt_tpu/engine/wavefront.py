@@ -184,7 +184,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                n_pix: int, pix_offset,
                max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                table: ShaderTable = None, seed: int = 0,
-               packet: int = 128, pix_perm=None):
+               packet: int = 128, pix_perm=None, shadow: bool = False):
     """Traceable wavefront frame over ``n_pix`` row-major pixels starting
     at ``pix_offset``.  Returns ((n_pix, 3) radiance, rays, steps).
     Used by render_wavefront (whole frame) and parallel.tiles (row block
@@ -245,38 +245,39 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 ox, oy, oz, dx, dy, dz, pix, slot, alive, rad_r, rad_g,
                 rad_b, thr, bounce_ct))
 
-        rays_traced = rays_traced + alive.sum(dtype=jnp.int32)
-        if packet > 0 and table.anyhit is None and r % packet == 0:
-            o3 = jnp.stack([ox, oy, oz], axis=1)
-            d3 = jnp.stack([dx, dy, dz], axis=1)
-            # group packets so finished groups exit their traversal loop
-            # early instead of waiting on the global max (lockstep waste)
-            if chunk % packet == 0 and r % chunk == 0 and r > chunk:
-                c = r // chunk
+        def _trace(tox, toy, toz, tdx, tdy, tdz, act):
+            """Trace a pool-shaped ray set with the configured engine."""
+            if packet > 0 and table.anyhit is None and r % packet == 0:
+                o3 = jnp.stack([tox, toy, toz], axis=1)
+                d3 = jnp.stack([tdx, tdy, tdz], axis=1)
+                # group packets so finished groups exit their traversal
+                # loop early instead of waiting on the global max
+                if chunk % packet == 0 and r % chunk == 0 and r > chunk:
+                    c = r // chunk
 
-                def gbody(args):
-                    oo, dd, aa = args
-                    h, st = trace_packets(wa, oo, dd, packet=packet,
-                                          active=aa)
-                    return h.dist, h.bx, h.by, h.tri, h.inst, st
+                    def gbody(args):
+                        oo, dd, aa = args
+                        h, st = trace_packets(wa, oo, dd, packet=packet,
+                                              active=aa)
+                        return h.dist, h.bx, h.by, h.tri, h.inst, st
 
-                outs = jax.lax.map(
-                    gbody, (o3.reshape(c, chunk, 3),
-                            d3.reshape(c, chunk, 3),
-                            alive.reshape(c, chunk)))
-                dist, bx, by = (outs[0].reshape(r), outs[1].reshape(r),
-                                outs[2].reshape(r))
-                tri, inst = outs[3].reshape(r), outs[4].reshape(r)
-                steps = outs[5].sum()
-            else:
-                hits_p, steps = trace_packets(wa, o3, d3, packet=packet,
-                                              active=alive)
-                dist, bx, by = hits_p.dist, hits_p.bx, hits_p.by
-                tri, inst = hits_p.tri, hits_p.inst
-        else:
-            dist, bx, by, tri, inst, steps = _trace_pool(
-                wa, sa, ctx, table, (ox, oy, oz, dx, dy, dz), alive,
+                    outs = jax.lax.map(
+                        gbody, (o3.reshape(c, chunk, 3),
+                                d3.reshape(c, chunk, 3),
+                                act.reshape(c, chunk)))
+                    return (outs[0].reshape(r), outs[1].reshape(r),
+                            outs[2].reshape(r), outs[3].reshape(r),
+                            outs[4].reshape(r), outs[5].sum())
+                h, st = trace_packets(wa, o3, d3, packet=packet,
+                                      active=act)
+                return h.dist, h.bx, h.by, h.tri, h.inst, st
+            return _trace_pool(
+                wa, sa, ctx, table, (tox, toy, toz, tdx, tdy, tdz), act,
                 (thr, bounce_ct, pix), chunk)
+
+        rays_traced = rays_traced + alive.sum(dtype=jnp.int32)
+        dist, bx, by, tri, inst, steps = _trace(ox, oy, oz, dx, dy, dz,
+                                                alive)
         steps_total = steps_total + steps
 
         hit = alive & (dist < LARGE_FLOAT)
@@ -285,6 +286,22 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         inst_c = jnp.clip(inst, 0, sa.inst_shade.shape[0] - 1)
         sp = shade_point(sa, ox, oy, oz, dx, dy, dz,
                          dist, bx, by, 1.0 - bx - by, tri_c, inst_c)
+        if shadow:
+            # shadow rays: occlusion-test the direct light term
+            # (BASELINE config 2 "primary + shadow rays")
+            slx = light.light_pos[0] - sp.px
+            sly = light.light_pos[1] - sp.py
+            slz = light.light_pos[2] - sp.pz
+            dist_l = jnp.sqrt(slx * slx + sly * sly + slz * slz + 1e-20)
+            sdx, sdy, sdz = slx / dist_l, sly / dist_l, slz / dist_l
+            sh_act = hit
+            rays_traced = rays_traced + sh_act.sum(dtype=jnp.int32)
+            sh_dist, _, _, _, _, sh_steps = _trace(
+                sp.px + sdx * 1e-3, sp.py + sdy * 1e-3, sp.pz + sdz * 1e-3,
+                sdx, sdy, sdz, sh_act)
+            steps_total = steps_total + sh_steps
+            occluded = sh_act & (sh_dist < dist_l * (1.0 - 1e-3))
+            sp = sp._replace(lit=jnp.where(occluded, 0.0, 1.0))
         ray = RayLanes(ox, oy, oz, dx, dy, dz)
         pl = PayloadLanes(thr, bounce_ct, pix)
 
@@ -324,25 +341,26 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
-                          "table", "packet"))
+                          "table", "packet", "shadow"))
 def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      light: LightArrays, width: int, height: int,
                      max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                      table: ShaderTable = None, seed: int = 0,
-                     packet: int = 128, pix_perm=None):
+                     packet: int = 128, pix_perm=None,
+                     shadow: bool = False):
     """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps).
     ``pix_perm`` (device arg, built by the wrapper below) lays pixels out
     tile-major for packet coherence."""
     img, rays, steps = frame_body(
         wa, sa, cam, light, width, height, width * height, 0,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
-        packet=packet, pix_perm=pix_perm)
+        packet=packet, pix_perm=pix_perm, shadow=shadow)
     return img.reshape(height, width, 3), rays, steps
 
 
 def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
                  chunk=4096, table=None, seed=0, packet=128,
-                 tile_w=16, tile_h=8):
+                 tile_w=16, tile_h=8, shadow=False):
     """Host wrapper: builds the (static) tile permutation OUTSIDE the jit
     and passes it as a device argument (a closed-over array would become a
     multi-MB jaxpr constant — see the measured rules in traverse_wide)."""
@@ -352,7 +370,8 @@ def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
     return render_wavefront(
         wa, sa, cam, light, width, height, max_depth=max_depth, spp=spp,
         chunk=chunk, table=table, seed=seed, packet=packet,
-        pix_perm=None if perm is None else jnp.asarray(perm))
+        pix_perm=None if perm is None else jnp.asarray(perm),
+        shadow=shadow)
 
 
 # ---------------------------------------------------------------------------
@@ -505,9 +524,9 @@ class WavefrontRenderer:
         if mode == "auto":
             mode = "fused"
         if mode == "chunked":
-            if self.table != ShaderTable():
+            if self.table != ShaderTable() or params.shadow:
                 # the chunked orchestrator shades with the default-table
-                # program only; custom shader tables run fused
+                # program only (and has no shadow pass); run fused
                 mode = "fused"
             else:
                 return self._render_chunked(cam, params, w, h)
@@ -517,7 +536,8 @@ class WavefrontRenderer:
             max_depth=params.max_depth, spp=params.spp,
             chunk=self.config.lanes, table=self.table,
             packet=self.config.packet_size,
-            tile_w=self.config.tile_w, tile_h=self.config.tile_h)
+            tile_w=self.config.tile_w, tile_h=self.config.tile_h,
+            shadow=params.shadow)
         return np.asarray(img), int(nrays)
 
     def _render_chunked(self, cam: Camera, params: RenderParams,

@@ -162,6 +162,16 @@ def generate_rays(cam: Camera, width: int, height: int):
     return o.reshape(-1, 3), d.reshape(-1, 3)
 
 
+def occlusion_np(p, sb: SceneBuffers, light_pos, eps: float = 1e-3):
+    """Shadow test: is the light visible from p?  Brute force (oracle)."""
+    l = light_pos - p
+    dist = np.asarray(vm.length(l))
+    d = l / np.maximum(dist, 1e-20)[..., None]
+    o = p + d * eps
+    sh = brute_force_hits(o.astype(np.float32), d.astype(np.float32), sb)
+    return sh["dist"] < dist * (1.0 - 1e-3)
+
+
 def shade_hits(o, d, hits, sb: SceneBuffers, params: RenderParams):
     """One bounce of the Trace() loop body on arrays of rays with hit info.
 
@@ -193,6 +203,16 @@ def shade_hits(o, d, hits, sb: SceneBuffers, params: RenderParams):
         np.asarray(params.light_color, np.float32),
         np.asarray(params.light_pos, np.float32),
     )
+    if getattr(params, "shadow", False):
+        occluded = occlusion_np(p, sb, np.asarray(params.light_pos,
+                                                  np.float32))
+        # remove the direct (attenuated N.L) term where shadowed
+        lit_diffuse = diffuse_lighting_np(
+            p, n, tex_color,
+            np.asarray(params.ambient_color, np.float32),
+            np.zeros(3, np.float32),
+            np.asarray(params.light_pos, np.float32))
+        diffuse = np.where(occluded[..., None], lit_diffuse, diffuse)
     refl = sb.inst_reflectivity[inst]
     r = np.asarray(vm.normalize(vm.reflect(d, n)), np.float32)
     new_o = p + r * 1e-3

@@ -160,6 +160,7 @@ class RenderParams:
     background_color: Tuple[float, float, float] = (0.2, 0.3, 0.5)
     spp: int = 1
     max_depth: int = 2
+    shadow: bool = False  # occlusion-tested direct lighting (shadow rays)
 
 
 # ---------------------------------------------------------------------------

@@ -121,6 +121,7 @@ class ShadePoint(NamedTuple):
     mat: jnp.ndarray
     tri: jnp.ndarray
     inst: jnp.ndarray
+    lit: jnp.ndarray  # 1.0 = light visible, 0.0 = shadowed (shadow rays)
 
 
 def shade_point(sa: ShadeArrays,
@@ -166,11 +167,13 @@ def shade_point(sa: ShadeArrays,
 
     return ShadePoint(px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz, u=u, v=v,
                       color_r=cr, color_g=cg, color_b=cb,
-                      reflectivity=irow[:, 9], mat=mat, tri=tri, inst=inst)
+                      reflectivity=irow[:, 9], mat=mat, tri=tri, inst=inst,
+                      lit=jnp.ones_like(px))
 
 
 def diffuse_lighting_lanes(sp: ShadePoint, light_pos, light_color, ambient):
-    """rtx_shading.h diffuseLighting on lanes: att = 1/(1 + 0.1*dist)."""
+    """rtx_shading.h diffuseLighting on lanes: att = 1/(1 + 0.1*dist).
+    ``sp.lit`` gates the direct term (shadow rays); ambient is unshadowed."""
     lx = light_pos[0] - sp.px
     ly = light_pos[1] - sp.py
     lz = light_pos[2] - sp.pz
@@ -178,7 +181,7 @@ def diffuse_lighting_lanes(sp: ShadePoint, light_pos, light_color, ambient):
     inv = 1.0 / dist
     ndotl = jnp.maximum(0.0, (sp.nx * lx + sp.ny * ly + sp.nz * lz) * inv)
     att = 1.0 / (1.0 + dist * 0.1)
-    f = att * ndotl
+    f = att * ndotl * sp.lit
     return (sp.color_r * (ambient[0] + light_color[0] * f),
             sp.color_g * (ambient[1] + light_color[1] * f),
             sp.color_b * (ambient[2] + light_color[2] * f))
