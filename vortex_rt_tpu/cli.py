@@ -63,6 +63,8 @@ def main(argv=None) -> int:
     ap.add_argument("--perf", action="store_true", help="print perf counters")
     ap.add_argument("--trace-out", default=None,
                     help="write a Chrome/Perfetto trace JSON of the render")
+    ap.add_argument("--shadow", action="store_true",
+                    help="occlusion-tested direct lighting (shadow rays)")
     ap.add_argument("--compare", action="store_true",
                     help="also render on the CPU golden oracle and report "
                          "the pixel RMSE (the reference's -c cross-check)")
@@ -87,7 +89,8 @@ def main(argv=None) -> int:
     sb = sc.build()
     aspect = args.width / args.height
     cam = Scene.framing_camera(sb, args.vfov, aspect, zoom=1.0)
-    params = RenderParams(spp=args.spp, max_depth=args.depth)
+    params = RenderParams(spp=args.spp, max_depth=args.depth,
+                          shadow=args.shadow)
 
     t0 = time.perf_counter()
     if args.cpu:
