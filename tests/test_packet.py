@@ -107,3 +107,43 @@ def test_packet_trail_restart_regression(rng):
                                np.asarray(hr.dist), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(hp.tri)[:400],
                                   np.asarray(hr.tri))
+
+
+def test_packet_occlusion_mode(rng):
+    """Occlusion mode = bounded any-hit query: occluded iff the closest
+    hit lies strictly inside the clamp (rt_unit.cpp:190-213 ACCEPT+stop)."""
+    sc = Scene()
+    sc.add_mesh(uv_sphere((0, 0, 0), 1.0, 12, 16))
+    sc.add_mesh(box((1.2, 0.3, 0.5), 0.4))
+    sb = sc.build()
+    wa = WideArrays.from_scene(sb)
+    o = rng.uniform(-4, 4, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = rng.uniform(0.5, 8.0, 256).astype(np.float32)
+    act = rng.uniform(size=256) < 0.9
+
+    ho, st_occ = trace_packets(wa, o, d, packet=64, active=act,
+                               t_max=t_max, occlusion=True)
+    hc, st_clo = trace_packets(wa, o, d, packet=64, active=act)
+    want = act & (np.asarray(hc.dist) < t_max)
+    got = np.asarray(ho.dist) < LARGE_FLOAT
+    np.testing.assert_array_equal(got, want)
+    # first-hit-exits must do no more work than the closest-hit search
+    assert int(st_occ) <= int(st_clo)
+
+
+def test_packet_t_max_clamp(rng):
+    """A t_max clamp must hide all geometry beyond it (closest mode)."""
+    sc = Scene()
+    sc.add_mesh(box((0, 0, 5), 1.0))
+    sb = sc.build()
+    wa = WideArrays.from_scene(sb)
+    o = np.zeros((64, 3), np.float32)
+    d = np.tile(np.array([[0, 0, 1]], np.float32), (64, 1))
+    near = np.full(64, 3.0, np.float32)   # box front face at z=4
+    far = np.full(64, 10.0, np.float32)
+    h_near, _ = trace_packets(wa, o, d, packet=64, t_max=near)
+    h_far, _ = trace_packets(wa, o, d, packet=64, t_max=far)
+    assert (np.asarray(h_near.dist) >= LARGE_FLOAT).all()
+    assert np.allclose(np.asarray(h_far.dist), 4.0, atol=1e-5)

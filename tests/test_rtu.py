@@ -142,3 +142,29 @@ def test_rtu_getwork_longest_queue(rng):
     assert (ty == SHADER_MISS).all() and len(ids) == 4  # lane-capped pop
     ty2, ids2 = decode_work(unit.get_work())
     assert len(ids2) + len(ids) >= 7
+
+
+def test_rtu_queue_capacity_spill(rng):
+    """queue_capacity bounds each shader queue (ShaderQueue CAPACITY,
+    sim/simx/types.h:1844); overflow spills losslessly and drains as
+    get_work frees slots."""
+    from vortex_rt_tpu.models.procedural import uv_sphere
+    from vortex_rt_tpu.models.scene import Scene
+
+    sc = Scene()
+    sc.add_mesh(uv_sphere((0, 0, 0), 1.0, 8, 12))
+    sb = sc.build()
+    unit = RTUnit(WideArrays.from_scene(sb), anyhit=False, lanes=8,
+                  queue_capacity=16)
+    n = 48  # all miss -> all land in the MISS queue, 3x the capacity
+    o = np.tile(np.array([[0, 0, -5]], np.float32), (n, 1))
+    d = np.tile(np.array([[0, 1, 0]], np.float32), (n, 1))
+    ids = unit.trace_ray(o, d)
+    seen = set()
+    while True:
+        work = unit.get_work()
+        if work.size == 0:
+            break
+        assert all(len(q) <= unit.queue_capacity for q in unit._queues)
+        seen.update(int(w) & 0x0FFFFFFF for w in work)
+    assert seen == {int(i) for i in ids}

@@ -82,14 +82,26 @@ class RTUnit:
     """
 
     def __init__(self, wa: WideArrays, lanes: int = 4096,
-                 anyhit: bool = True):
+                 anyhit: bool = True, queue_capacity: int = 1024):
         self.wa = wa
         self.lanes = int(lanes)
         self.anyhit = bool(anyhit)
+        # ShaderQueue CAPACITY (sim/simx/types.h:1844).  The hardware ring
+        # overwrites its oldest entry on overflow; the facade must not lose
+        # rays, so overflow spills to a side list that refills the bounded
+        # queue as get_work drains it.
+        self.queue_capacity = int(queue_capacity)
         self._next_id = 1  # 0 is invalid (rt_unit.cpp:52)
         self._rays: Dict[int, dict] = {}      # rayID -> state record
         self._queues = [[] for _ in range(NUM_SHADER_TYPES)]
+        self._spill = [[] for _ in range(NUM_SHADER_TYPES)]
         self._pending_trace: list = []        # ids awaiting (re)traversal
+
+    def _enqueue(self, ty: int, rid: int) -> None:
+        if len(self._queues[ty]) < self.queue_capacity:
+            self._queues[ty].append(rid)
+        else:
+            self._spill[ty].append(rid)
 
     # ---- traceRay (vx_raytrace.h:42-48) ----
 
@@ -167,11 +179,11 @@ class RTUnit:
                     by=float(np.asarray(st.pend_by)[k]),
                     tri=int(np.asarray(st.pend_tri)[k]),
                     blas=int(np.asarray(st.pend_inst)[k]))
-                self._queues[SHADER_ANY].append(rid)
+                self._enqueue(SHADER_ANY, rid)
             elif rec["dist"] >= LARGE_FLOAT:
-                self._queues[SHADER_MISS].append(rid)   # rt_unit.cpp:109
+                self._enqueue(SHADER_MISS, rid)         # rt_unit.cpp:109
             else:
-                self._queues[SHADER_CLOSEST].append(rid)
+                self._enqueue(SHADER_CLOSEST, rid)
 
     # ---- getWork (rt_unit.cpp:125-161) ----
 
@@ -185,6 +197,11 @@ class RTUnit:
         ty = int(np.argmax(lengths))  # longest queue wins (schedule_work)
         take = self._queues[ty][: self.lanes]
         self._queues[ty] = self._queues[ty][self.lanes :]
+        # drain spilled rays into the freed queue slots
+        room = self.queue_capacity - len(self._queues[ty])
+        if room > 0 and self._spill[ty]:
+            self._queues[ty].extend(self._spill[ty][:room])
+            self._spill[ty] = self._spill[ty][room:]
         return ((np.uint32(1) << np.uint32(28 + ty))
                 | np.asarray(take, np.uint32))
 

@@ -77,11 +77,22 @@ def trace_packets(
     packet: int = 64,
     active: Optional[jnp.ndarray] = None,
     max_steps: int = 400_000,
+    t_max: Optional[jnp.ndarray] = None,
+    occlusion: bool = False,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
 
     R must be a multiple of ``packet``.  ``active`` masks dead pool lanes
-    (their results stay at miss).  Returns (Hits, total steps)."""
+    (their results stay at miss).  Returns (Hits, total steps).
+
+    ``t_max`` (R,) clamps each ray's search interval.  ``occlusion=True``
+    turns the trace into a bounded any-hit occlusion query (the shadow-ray
+    mode, rt_unit.cpp:190-213 ACCEPT-and-stop semantics): the FIRST hit
+    with t < t_max retires the ray (no closest-hit search), occluded rays
+    stop contributing to the packet's visit union, and a packet whose live
+    rays are all occluded exits.  Occluded rays return dist=0.0 (< t_max);
+    unoccluded rays return dist=LARGE_FLOAT.  Barycentrics/tri ids are
+    meaningless in this mode."""
     r = o.shape[0]
     p = int(packet)
     assert r % p == 0, "ray count must be a multiple of the packet size"
@@ -101,6 +112,8 @@ def trace_packets(
     ivx, ivy, ivz = _rcp_lane(dx), _rcp_lane(dy), _rcp_lane(dz)
     ray_on = (jnp.ones((b, p), bool) if active is None
               else l2(active))
+    limit = (jnp.full((b, p), LARGE_FLOAT) if t_max is None
+             else l2(t_max.astype(jnp.float32)))
 
     zi = jnp.zeros(b, jnp.int32)
     zu = jnp.zeros(b, jnp.uint32)
@@ -111,7 +124,7 @@ def trace_packets(
         inst=zi,
         lox=ox, loy=oy, loz=oz, ldx=dx, ldy=dy, ldz=dz,
         lix=ivx, liy=ivy, liz=ivz,
-        best_t=jnp.where(ray_on, LARGE_FLOAT, -1.0),
+        best_t=jnp.where(ray_on, limit, -1.0),
         bx=jnp.zeros((b, p), jnp.float32),
         by=jnp.zeros((b, p), jnp.float32),
         tri=jnp.zeros((b, p), jnp.int32),
@@ -275,18 +288,26 @@ def trace_packets(
             w2_sel = jnp.where(better, w2, w2_sel)
 
         inst_b = jnp.broadcast_to(inst[:, None], (b, p))
-        closer = is_tri[:, None] & (t_min < s["best_t"])
-        tie = (is_tri[:, None] & (t_min == s["best_t"])
-               & (t_min < LARGE_FLOAT))
-        tie_better = tie & ((inst_b < s["best_inst"])
-                            | ((inst_b == s["best_inst"])
-                               & (tid_sel < s["tri"])))
-        upd = closer | tie_better
-        best_t = jnp.where(upd, t_min, s["best_t"])
-        bx = jnp.where(upd, w1_sel, s["bx"])
-        by = jnp.where(upd, w2_sel, s["by"])
-        tri = jnp.where(upd, tid_sel, s["tri"])
-        best_inst = jnp.where(upd, inst_b, s["best_inst"])
+        if occlusion:
+            # any hit inside the clamp retires the ray: best_t <- -1 kills
+            # its slab tests, so it stops widening the packet union
+            occ_new = is_tri[:, None] & (t_min < s["best_t"]) & ray_on
+            best_t = jnp.where(occ_new, -1.0, s["best_t"])
+            bx, by = s["bx"], s["by"]
+            tri, best_inst = s["tri"], s["best_inst"]
+        else:
+            closer = is_tri[:, None] & (t_min < s["best_t"])
+            tie = (is_tri[:, None] & (t_min == s["best_t"])
+                   & (t_min < LARGE_FLOAT))
+            tie_better = tie & ((inst_b < s["best_inst"])
+                                | ((inst_b == s["best_inst"])
+                                   & (tid_sel < s["tri"])))
+            upd = closer | tie_better
+            best_t = jnp.where(upd, t_min, s["best_t"])
+            bx = jnp.where(upd, w1_sel, s["bx"])
+            by = jnp.where(upd, w2_sel, s["by"])
+            tri = jnp.where(upd, tid_sel, s["tri"])
+            best_inst = jnp.where(upd, inst_b, s["best_inst"])
         want_pop_tri = is_tri
 
         # ---- next / pop (per packet) ----
@@ -313,12 +334,15 @@ def trace_packets(
         level = jnp.where(restart, 0,
                           jnp.where(from_stack, p_safe + 1, level))
 
+        done = s["done"] | dead
+        if occlusion:
+            done = done | ~jnp.any(ray_on & (best_t > 0.0), axis=1)
         s.update(node=nxt, level=level, trail=trail, stack=stack,
                  scount=scount, inst=inst,
                  lox=lox, loy=loy, loz=loz, ldx=ldx_, ldy=ldy_, ldz=ldz_,
                  lix=lix, liy=liy, liz=liz,
                  best_t=best_t, bx=bx, by=by, tri=tri, best_inst=best_inst,
-                 done=s["done"] | dead, steps=s["steps"] + 1)
+                 done=done, steps=s["steps"] + 1)
         return [s[k] for k in keys]
 
     final = dict(zip(keys, jax.lax.while_loop(
@@ -327,9 +351,17 @@ def trace_packets(
     def flat(x):
         return x.reshape(r)
 
+    if occlusion:
+        occluded = ray_on & (final["best_t"] < 0.0)
+        dist = flat(jnp.where(occluded, 0.0, LARGE_FLOAT))
+    else:
+        # a real hit is strictly inside the clamp; unhit rays still carry
+        # their initial t_max and must report miss
+        dist = flat(jnp.where((final["best_t"] < 0)
+                              | (final["best_t"] >= limit),
+                              LARGE_FLOAT, final["best_t"]))
     hits = Hits(
-        dist=flat(jnp.where(final["best_t"] < 0, LARGE_FLOAT,
-                            final["best_t"])),
+        dist=dist,
         bx=flat(final["bx"]), by=flat(final["by"]),
         bz=flat(1.0 - final["bx"] - final["by"]),
         tri=flat(final["tri"]), inst=flat(final["best_inst"]),

@@ -59,8 +59,8 @@ class RTConfig:
                                 # measured ~5x on coherent pools; 256 with
                                 # 16x16 tiles swept best on the bench scene
     queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
-                                # — reserved; the RTU facade's host queues
-                                # and the wavefront pool are unbounded
+                                # — enforced by the RTU facade: bounded
+                                # queues with lossless overflow spill
 
     # ---- render parameters (kernel_arg_t analog, raytracing/common.h:164) ----
     width: int = 256
