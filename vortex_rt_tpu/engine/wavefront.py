@@ -9,13 +9,16 @@ section 2.7 item 3).  The TPU-native equivalent:
 * the ray pool IS the framebuffer-ordered SoA batch; one pool slot per
   (pixel, sample) carries the payload (ray_payload_t analog: throughput /
   bounce / pixel);
-* traversal runs in fixed 4096-ray chunks (``lax.map`` over the pool) —
-  the measured fast-path batch size for the traversal step (see
-  ops.traverse_wide);
-* shader-queue regrouping becomes *compaction*: between bounces the pool
-  is partitioned alive-first (one stable sort + per-lane gathers), so
-  later bounces run dense chunks and dead chunks exit their traversal
-  loop immediately — the ShaderQueue pop_warp effect;
+* traversal is ONE packet-engine while_loop over the whole pool (a loop
+  iteration costs ~13 us at 2048 packets on a v5e, so splitting the pool
+  into sequential groups only multiplies iteration counts);
+* shader-queue regrouping is packet-granular and implicit: a packet whose
+  rays are all dead exits its walk on the first iteration, and tile-major
+  pool order keeps packets coherent.  Ray-level argsort compaction (the
+  literal pop_warp analog) is measured counterproductive on TPU at pool
+  scale — a full-pool argsort + 14 gathers costs ~150 ms while the trace
+  it accelerates costs ~3 ms — and lives only in the host-orchestrated
+  chunked path below;
 * shaders are batch functions from the ShaderTable (engine.shaders); the
   miss/closest shaders of every ray in the wave run as two dense vector
   stages instead of per-warp indirect calls;
@@ -63,7 +66,12 @@ def tile_pixel_perm(width: int, height: int, tile_w: int = 16,
     instead of a thin image row — the reference's 8x8 tile-to-core mapping
     (kernel.cpp:128-133) reborn as packet-coherence layout.  Returns None
     when the frame doesn't divide into tiles (callers fall back to
-    row-major)."""
+    row-major).
+
+    NOTE: the production frame no longer gathers through this table — the
+    same mapping is computed arithmetically per lane (``_tile_pixel_ids``)
+    because a pool-scale gather costs ~10 ms on a v5e while the integer
+    mapping is free.  Kept for tests and host-side tools."""
     if width % tile_w or height % tile_h:
         return None
     ty, tx = np.meshgrid(np.arange(height // tile_h),
@@ -73,6 +81,38 @@ def tile_pixel_perm(width: int, height: int, tile_w: int = 16,
     yy = ty[:, :, None, None] * tile_h + py[None, None]
     xx = tx[:, :, None, None] * tile_w + px[None, None]
     return (yy * width + xx).reshape(-1).astype(np.int32)
+
+
+def _tile_pixel_ids(q: jnp.ndarray, width: int, tile_w: int, tile_h: int,
+                    row0: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tile-major pool-pixel index ``q`` -> (px, py) image coordinates,
+    pure integer arithmetic (no gather).  ``row0`` offsets the block's
+    first image row (multi-chip row blocks)."""
+    lane_n = tile_w * tile_h
+    t = q // lane_n
+    l = q % lane_n
+    ntx = width // tile_w
+    tx = t % ntx
+    ty = t // ntx
+    px = tx * tile_w + l % tile_w
+    py = row0 + ty * tile_h + l // tile_w
+    return px, py
+
+
+def _stratified_jitter(key, r: int, spp: int):
+    """Per-sample sub-pixel offsets: sample s lands in cell s of a
+    ceil(sqrt(spp))^2 stratum grid with a uniform jitter inside the cell
+    (the stochastic-sampling upgrade of GenerateRay's +0.5 center,
+    raycast/render.h:190-208).  spp == 1 keeps the reference's exact
+    pixel-center rays for golden parity."""
+    if spp == 1:
+        return 0.5, 0.5
+    g = int(np.ceil(np.sqrt(spp)))
+    s = jnp.arange(r, dtype=jnp.int32) % spp
+    cx = (s % g).astype(jnp.float32)
+    cy = (s // g).astype(jnp.float32)
+    u = jax.random.uniform(key, (r, 2))
+    return (cx + u[:, 0]) / g, (cy + u[:, 1]) / g
 
 
 def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
@@ -97,13 +137,7 @@ def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
         pix = pix_offset + base
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
-    if spp == 1:
-        jx = jy = 0.5
-    else:
-        u = jax.random.uniform(key, (r, 2))
-        first = (jnp.arange(r, dtype=jnp.int32) % spp) == 0
-        jx = jnp.where(first, 0.5, u[:, 0])
-        jy = jnp.where(first, 0.5, u[:, 1])
+    jx, jy = _stratified_jitter(key, r, spp)
     x_ndc = (px + jx) / width - 0.5
     y_ndc = (py + jy) / height - 0.5
     vx = x_ndc * cam.viewplane[0]
@@ -117,6 +151,47 @@ def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
     oy = jnp.full(r, cam.pos[1])
     oz = jnp.full(r, cam.pos[2])
     return ox, oy, oz, dx, dy, dz, pix
+
+
+def _camera_lanes_tiled(cam: CameraArrays, width: int, height: int,
+                        spp: int, key, tile_w: int, tile_h: int,
+                        n_pix: int, row0: int):
+    """Primary rays in tile-major pool order, R = n_pix*spp lanes, pixel
+    coordinates computed arithmetically (zero gathers — see
+    ``tile_pixel_perm``).  Samples of one pixel are adjacent lanes, so a
+    P-lane packet covers P/spp pixels of one tile (coherence improves with
+    spp).  Requires width %% tile_w == 0 and (n_pix//width) %% tile_h == 0.
+    """
+    r = n_pix * spp
+    q = jnp.arange(r, dtype=jnp.int32) // spp
+    pxi, pyi = _tile_pixel_ids(q, width, tile_w, tile_h, row0)
+    pix = pyi * width + pxi
+    px = pxi.astype(jnp.float32)
+    py = pyi.astype(jnp.float32)
+    jx, jy = _stratified_jitter(key, r, spp)
+    x_ndc = (px + jx) / width - 0.5
+    y_ndc = (py + jy) / height - 0.5
+    vx = x_ndc * cam.viewplane[0]
+    vy = y_ndc * cam.viewplane[1]
+    dx = vx * cam.right[0] + vy * cam.up[0] + cam.forward[0]
+    dy = vx * cam.right[1] + vy * cam.up[1] + cam.forward[1]
+    dz = vx * cam.right[2] + vy * cam.up[2] + cam.forward[2]
+    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv, dy * inv, dz * inv
+    ox = jnp.full(r, cam.pos[0])
+    oy = jnp.full(r, cam.pos[1])
+    oz = jnp.full(r, cam.pos[2])
+    return ox, oy, oz, dx, dy, dz, pix
+
+
+def _resolve_tiled(lanes, width: int, rows: int, spp: int,
+                   tile_w: int, tile_h: int) -> jnp.ndarray:
+    """(n_pix*spp,) tile-major radiance lanes -> (rows, width) image.
+    Pure reshape/mean/transpose — replaces the argsort+gather resolve
+    (measured ~8+3x10 ms per frame at 512x512 on a v5e)."""
+    nty, ntx = rows // tile_h, width // tile_w
+    a = lanes.reshape(nty, ntx, tile_h, tile_w, spp).mean(-1)
+    return a.transpose(0, 2, 1, 3).reshape(rows, width)
 
 
 def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
@@ -187,18 +262,30 @@ def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
 
 def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                light: LightArrays, width: int, height: int,
-               n_pix: int, pix_offset,
+               n_pix: int, pix_offset: int,
                max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                table: ShaderTable = None, seed: int = 0,
-               packet: int = 128, pix_perm=None, shadow: bool = False):
-    """Traceable wavefront frame over ``n_pix`` row-major pixels starting
-    at ``pix_offset``.  Returns ((n_pix, 3) radiance, rays, steps).
-    Used by render_wavefront (whole frame) and parallel.tiles (row block
-    per device).
+               packet: int = 128, pix_perm=None, shadow: bool = False,
+               tile_w: int = 16, tile_h: int = 16):
+    """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
+    must be a whole number of rows for the tiled layout).  Returns
+    ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
+    render_wavefront (whole frame) and parallel.tiles (row block per
+    device).
 
-    ``packet`` > 0 traces with the packet engine (ops.traverse_packet —
-    measured ~5x the per-ray engine on coherent pools) when no any-hit
-    shader is bound; 0 forces the per-ray engine."""
+    Measured design (v5e, docs/ARCHITECTURE.md): the packet engine's
+    while_loop costs ~13 us/iteration at 2048 packets and ONE loop over
+    the whole pool needs ~1/17th the iterations of 64 lax.map groups, so
+    every trace is a single trace_packets call; pool-scale argsorts and
+    gathers cost 8-25 ms EACH, so the frame has none — pixel ids are
+    integer arithmetic on the lane index, rays never move between lanes
+    (no per-bounce compaction), and the spp/tile resolve is a pure
+    reshape+transpose.
+
+    ``packet`` > 0 traces with the packet engine (ops.traverse_packet)
+    when no any-hit shader is bound; 0 forces the per-ray engine (which
+    still chunks by ``chunk`` over a lax.map — the any-hit suspension
+    protocol needs per-ray state)."""
     if table is None:
         table = ShaderTable()
     ctx = ShaderContext(
@@ -207,14 +294,22 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         max_depth=max_depth)
 
     n_real = n_pix * spp
+    rows = n_pix // width
+    tiled = (width % tile_w == 0 and n_pix % width == 0
+             and rows % tile_h == 0 and pix_offset % width == 0)
     # pool padding: packet mode only needs packet-multiples; the per-ray
     # path chunks by `chunk`
     quantum = packet if (packet > 0 and table.anyhit is None) else chunk
     r = ((n_real + quantum - 1) // quantum) * quantum
     key = jax.random.PRNGKey(seed)
-    ox, oy, oz, dx, dy, dz, pix = _camera_lanes(
-        cam, width, height, spp, key, n_pix=n_pix, pix_offset=pix_offset,
-        pix_perm=pix_perm)
+    if tiled:
+        ox, oy, oz, dx, dy, dz, pix = _camera_lanes_tiled(
+            cam, width, height, spp, key, tile_w, tile_h, n_pix,
+            pix_offset // width)
+    else:
+        ox, oy, oz, dx, dy, dz, pix = _camera_lanes(
+            cam, width, height, spp, key, n_pix=n_pix,
+            pix_offset=pix_offset, pix_perm=pix_perm)
 
     def pad(a, fill=0):
         return jnp.concatenate(
@@ -223,8 +318,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     ox, oy, oz = pad(ox), pad(oy), pad(oz)
     dx, dy, dz = pad(dx), pad(dy, 1.0), pad(dz)
     pix = pad(pix, -1)  # padding lanes get an out-of-range pixel id
-    slot = jnp.arange(r, dtype=jnp.int32)  # original pool slot per lane
-    alive = slot < n_real
+    alive = jnp.arange(r, dtype=jnp.int32) < n_real
     rad_r = jnp.zeros(r, jnp.float32)
     rad_g = jnp.zeros(r, jnp.float32)
     rad_b = jnp.zeros(r, jnp.float32)
@@ -234,22 +328,6 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     steps_total = jnp.int32(0)
 
     for bounce in range(max_depth):
-        if bounce > 0:
-            # ---- compaction + re-packeting (the ShaderQueue regrouping
-            # analog): alive rays first, grouped by direction octant and
-            # origin tile so bounce packets stay coherent ----
-            octant = ((dx < 0).astype(jnp.int32) * 4
-                      + (dy < 0).astype(jnp.int32) * 2
-                      + (dz < 0).astype(jnp.int32))
-            key = jnp.where(alive,
-                            octant * (r // 8 + 1) + slot // max(packet, 1)
-                            if packet > 0 else octant,
-                            jnp.int32(2**30))
-            order = jnp.argsort(key, stable=True)
-            (ox, oy, oz, dx, dy, dz, pix, slot, alive, rad_r, rad_g, rad_b,
-             thr, bounce_ct) = (a[order] for a in (
-                ox, oy, oz, dx, dy, dz, pix, slot, alive, rad_r, rad_g,
-                rad_b, thr, bounce_ct))
 
         def _trace(tox, toy, toz, tdx, tdy, tdz, act, t_clamp=None,
                    occl=False):
@@ -263,26 +341,6 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 d3 = jnp.stack([tdx, tdy, tdz], axis=1)
                 tc = (jnp.full(r, LARGE_FLOAT) if t_clamp is None
                       else t_clamp)
-                # group packets so finished groups exit their traversal
-                # loop early instead of waiting on the global max
-                if chunk % packet == 0 and r % chunk == 0 and r > chunk:
-                    c = r // chunk
-
-                    def gbody(args):
-                        oo, dd, aa, tt = args
-                        h, st = trace_packets(wa, oo, dd, packet=packet,
-                                              active=aa, t_max=tt,
-                                              occlusion=occl)
-                        return h.dist, h.bx, h.by, h.tri, h.inst, st
-
-                    outs = jax.lax.map(
-                        gbody, (o3.reshape(c, chunk, 3),
-                                d3.reshape(c, chunk, 3),
-                                act.reshape(c, chunk),
-                                tc.reshape(c, chunk)))
-                    return (outs[0].reshape(r), outs[1].reshape(r),
-                            outs[2].reshape(r), outs[3].reshape(r),
-                            outs[4].reshape(r), outs[5].sum())
                 h, st = trace_packets(wa, o3, d3, packet=packet,
                                       active=act, t_max=tc, occlusion=occl)
                 return h.dist, h.bx, h.by, h.tri, h.inst, st
@@ -342,52 +400,108 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         alive = spawn
         bounce_ct = jnp.where(spawn, bounce_ct + 1, bounce_ct)
 
-    # ---- resolve: un-permute by original slot, group samples per pixel ----
-    inv = jnp.argsort(slot, stable=True)
-    rad_r, rad_g, rad_b = rad_r[inv], rad_g[inv], rad_b[inv]
-    img = jnp.stack([
-        rad_r[:n_real].reshape(n_pix, spp).mean(1),
-        rad_g[:n_real].reshape(n_pix, spp).mean(1),
-        rad_b[:n_real].reshape(n_pix, spp).mean(1)], axis=-1)
-    if pix_perm is not None:
-        # scatter tile-major pool pixels back to image order
-        img = jnp.zeros_like(img).at[pix_perm].set(img)
+    # ---- resolve: rays never moved lanes, so pool order IS (pixel, spp)
+    # order; tile-major lanes resolve with a reshape+transpose.  Channels
+    # stay as (3, n_pix) PLANES: a (n_pix, 3) array puts the 3-channel
+    # axis on the 128-wide TPU lane dimension, and its padded layout
+    # costs ~54 ms/frame just to materialize (measured; ARCHITECTURE.md
+    # rule 3).  Callers stack to (H, W, 3) once, at the edge. ----
+    if tiled:
+        img = jnp.stack([
+            _resolve_tiled(c[:n_real], width, rows, spp, tile_w, tile_h)
+            .reshape(n_pix) for c in (rad_r, rad_g, rad_b)])
+    else:
+        img = jnp.stack([
+            rad_r[:n_real].reshape(n_pix, spp).mean(1),
+            rad_g[:n_real].reshape(n_pix, spp).mean(1),
+            rad_b[:n_real].reshape(n_pix, spp).mean(1)])
     return img, rays_traced, steps_total
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
-                          "table", "packet", "shadow"))
+                          "table", "packet", "shadow", "tile_w", "tile_h"))
 def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      light: LightArrays, width: int, height: int,
                      max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                      table: ShaderTable = None, seed: int = 0,
-                     packet: int = 128, pix_perm=None,
-                     shadow: bool = False):
-    """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps).
-    ``pix_perm`` (device arg, built by the wrapper below) lays pixels out
-    tile-major for packet coherence."""
+                     packet: int = 128, shadow: bool = False,
+                     tile_w: int = 16, tile_h: int = 16):
+    """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
     img, rays, steps = frame_body(
         wa, sa, cam, light, width, height, width * height, 0,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
-        packet=packet, pix_perm=pix_perm, shadow=shadow)
-    return img.reshape(height, width, 3), rays, steps
+        packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h)
+    return (img.reshape(3, height, width).transpose(1, 2, 0),
+            rays, steps)
 
 
 def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
                  chunk=4096, table=None, seed=0, packet=128,
-                 tile_w=16, tile_h=8, shadow=False):
-    """Host wrapper: builds the (static) tile permutation OUTSIDE the jit
-    and passes it as a device argument (a closed-over array would become a
-    multi-MB jaxpr constant — see the measured rules in traverse_wide)."""
-    perm = None
-    if packet > 0 and tile_w * tile_h == packet:
-        perm = tile_pixel_perm(width, height, tile_w, tile_h)
+                 tile_w=16, tile_h=16, shadow=False):
+    """Host wrapper around render_wavefront (kept as the stable API)."""
     return render_wavefront(
         wa, sa, cam, light, width, height, max_depth=max_depth, spp=spp,
         chunk=chunk, table=table, seed=seed, packet=packet,
-        pix_perm=None if perm is None else jnp.asarray(perm),
-        shadow=shadow)
+        shadow=shadow, tile_w=tile_w, tile_h=tile_h)
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "max_depth", "spp", "chunk",
+                          "table", "packet", "shadow", "tile_w", "tile_h",
+                          "n_frames"))
+def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
+                 light: LightArrays, width: int, height: int,
+                 n_frames: int = 16, seed0=0,
+                 max_depth: int = 2, spp: int = 1, chunk: int = 4096,
+                 table: ShaderTable = None,
+                 packet: int = 128, shadow: bool = False,
+                 tile_w: int = 16, tile_h: int = 16):
+    """Render ``n_frames`` frames (seeds seed0..seed0+n-1) inside ONE XLA
+    program; returns (last (H, W, 3) image, total rays, total steps).
+
+    This is the sustained-throughput entry point: on the axon remote
+    backend every dispatch pays a ~30 ms round trip once any D2H has
+    happened, and queueing >8 dispatches without a sync wedges the
+    backend — so the only way to amortize dispatch latency is to put the
+    frame loop inside the program (one dispatch per burst).  It is also
+    the natural animation API (per-frame seeds advance the sampler).
+
+    Structure (measured, ARCHITECTURE.md rule 12): an in-program frame
+    loop must emit only SCALARS per iteration — returning even one
+    (3, n_pix) plane from the lax.map body costs ~78 ms/frame in loop
+    buffer writes, two orders of magnitude over the ~0.2 ms it should.
+    So frames 0..n-2 run in a lax.map that reduces each image to a
+    checksum (which keeps shading, shadow traces and radiance live — the
+    ray/step counters alone would let XLA dead-code the lighting), and
+    the LAST frame runs outside the loop, materializing the one image the
+    caller gets."""
+
+    def body(seed):
+        img, rays, steps = frame_body(
+            wa, sa, cam, light, width, height, width * height, 0,
+            max_depth=max_depth, spp=spp, chunk=chunk, table=table,
+            seed=seed, packet=packet, shadow=shadow,
+            tile_w=tile_w, tile_h=tile_h)
+        return img.sum(), rays, steps
+
+    seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
+    rays = jnp.int32(0)
+    steps = jnp.int32(0)
+    cks = jnp.float32(0)
+    if n_frames > 1:
+        c, r, s = jax.lax.map(body, seeds[:-1])
+        rays, steps, cks = rays + r.sum(), steps + s.sum(), cks + c.sum()
+    img, r, s = frame_body(
+        wa, sa, cam, light, width, height, width * height, 0,
+        max_depth=max_depth, spp=spp, chunk=chunk, table=table,
+        seed=seeds[-1], packet=packet, shadow=shadow,
+        tile_w=tile_w, tile_h=tile_h)
+    # cks rides the image's DC channel so the mapped frames' lighting
+    # cannot be dead-coded while staying invisible at f32 precision
+    eps = cks * jnp.float32(1e-30)
+    out = img.reshape(3, height, width).transpose(1, 2, 0) + eps
+    return out, rays + r, steps + s
 
 
 # ---------------------------------------------------------------------------
@@ -506,6 +620,20 @@ class WavefrontRenderer:
     sa: ShadeArrays
     config: RTConfig
     table: ShaderTable
+    # device-array cache for the last (camera, params) pair: each host->
+    # device upload costs a ~30 ms round trip on the axon tunnel, and
+    # render loops re-use the same camera/lights every call
+    _dev_cache: dict = dataclasses.field(default_factory=dict)
+
+    def _dev_args(self, cam: Camera, params: RenderParams):
+        key = (repr(cam), repr(params))
+        hit = self._dev_cache.get("key") == key
+        if not hit:
+            self._dev_cache.update(
+                key=key,
+                cam=CameraArrays.from_camera(cam),
+                light=LightArrays.from_params(params))
+        return self._dev_cache["cam"], self._dev_cache["light"]
 
     @staticmethod
     def from_scene(scene: Scene, config: Optional[RTConfig] = None,
@@ -551,14 +679,40 @@ class WavefrontRenderer:
                 mode = "fused"
             else:
                 return self._render_chunked(cam, params, w, h)
+        ca, light = self._dev_args(cam, params)
         img, nrays, _ = render_frame(
-            self.wa, self.sa, CameraArrays.from_camera(cam),
-            LightArrays.from_params(params), w, h,
+            self.wa, self.sa, ca, light, w, h,
             max_depth=params.max_depth, spp=params.spp,
             chunk=self.config.lanes, table=self.table,
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             shadow=params.shadow)
+        return np.asarray(img), int(nrays)
+
+    def render_burst(self, cam: Camera, params: RenderParams,
+                     width: Optional[int] = None,
+                     height: Optional[int] = None,
+                     n_frames: int = 16, seed0: int = 0,
+                     rays_only: bool = False):
+        """Render ``n_frames`` frames in one dispatch (seeds advance per
+        frame); returns (last image, total rays).  The sustained-throughput
+        / animation API — see render_burst (module level).
+
+        ``rays_only=True`` skips the image readback (a full-image D2H
+        costs ~280 ms through the axon tunnel) and returns only the ray
+        count — benchmark loops pull the image once, after timing."""
+        w = width or self.config.width
+        h = height or self.config.height
+        ca, light = self._dev_args(cam, params)
+        img, nrays, _ = render_burst(
+            self.wa, self.sa, ca, light, w, h, n_frames=n_frames,
+            seed0=seed0, max_depth=params.max_depth, spp=params.spp,
+            chunk=self.config.lanes, table=self.table,
+            packet=self.config.packet_size,
+            tile_w=self.config.tile_w, tile_h=self.config.tile_h,
+            shadow=params.shadow)
+        if rays_only:
+            return int(nrays)
         return np.asarray(img), int(nrays)
 
     def _render_chunked(self, cam: Camera, params: RenderParams,

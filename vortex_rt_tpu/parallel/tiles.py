@@ -133,7 +133,9 @@ def make_tiled_wavefront(mesh: Mesh, width: int, height: int,
             max_depth=max_depth, spp=spp, chunk=chunk,
             seed=0)
         total = jax.lax.psum(rays, axis)
-        return img.reshape(rows_local, width, 3), total
+        # frame_body emits (3, n_pix) channel planes (TPU layout rule —
+        # see wavefront.frame_body resolve comment)
+        return img.reshape(3, rows_local, width).transpose(1, 2, 0), total
 
     def step(wa, sa, cam, light):
         shard = jax.shard_map(

@@ -54,10 +54,12 @@ class RTConfig:
                                 # analog): packet groups of lanes/packet_size
                                 # packets exit their loops independently,
                                 # capping lockstep waste (measured sweep)
-    packet_size: int = 256      # rays per traversal packet (0 = per-ray
+    packet_size: int = 128      # rays per traversal packet (0 = per-ray
                                 # engine); packets share one node walk —
-                                # measured ~5x on coherent pools; 256 with
-                                # 16x16 tiles swept best on the bench scene
+                                # 128 with 16x8 tiles swept best in the
+                                # round-2 whole-pool measurements (smaller
+                                # packets = tighter visit unions; the B
+                                # axis still saturates the VPU)
     queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
                                 # — enforced by the RTU facade: bounded
                                 # queues with lossless overflow spill
@@ -68,7 +70,7 @@ class RTConfig:
     spp: int = 1
     max_depth: int = 2          # bounce budget (reference -d flag)
     tile_w: int = 16            # pixel tile per packet (the reference maps
-    tile_h: int = 16            # 8x8 blocks to cores, kernel.cpp:128-133;
+    tile_h: int = 8             # 8x8 blocks to cores, kernel.cpp:128-133;
                                 # tile_w*tile_h should equal packet_size)
 
     # ---- numerics ----
