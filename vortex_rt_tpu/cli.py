@@ -31,6 +31,18 @@ def build_scene(model: str):
         sc.add_mesh(uv_sphere((0, 0, 0), 1.0, 24, 48))
     elif model == "soup":
         sc.add_mesh(random_soup(np.random.default_rng(0), 2000))
+    elif model in ("bunny", "atrium", "waves"):
+        # BASELINE scale-ladder stand-ins (the reference tree is missing
+        # Sponza/sponza.obj and has no bunny asset — see models.bigscenes)
+        from vortex_rt_tpu.models import bigscenes
+
+        if model == "bunny":
+            sc.add_mesh(bigscenes.blob(n=187))
+        elif model == "atrium":
+            for mesh, refl in bigscenes.atrium():
+                sc.add_instance(sc.add_mesh(mesh), reflectivity=refl)
+        else:
+            sc.add_mesh(bigscenes.wavy_grid())
     elif all(m.strip().endswith(".obj") for m in model.split(",")):
         # one or more OBJ files; multiple get arranged on a circle like
         # the reference (scene.cpp arrangeMeshesAroundY)

@@ -219,6 +219,44 @@ def shade_hits(o, d, hits, sb: SceneBuffers, params: RenderParams):
     return diffuse, refl, hit, new_o, r
 
 
+def sample_pixel_parity(sb: SceneBuffers, cam: Camera, params: RenderParams,
+                        width: int, height: int, img: np.ndarray,
+                        n: int = 1024, seed: int = 0):
+    """Scale-capable fidelity gate: brute-force-render ``n`` randomly
+    sampled pixels and compare against the device image ``img`` (H, W, 3).
+
+    The full golden render is O(R*T) and cannot run at 1080p over a
+    260k-tri scene (~5e11 ray-tri tests); sampling keeps the oracle's
+    strictly-stronger-than-BVH property per sampled pixel while bounding
+    cost at O(n*T).  Only valid for spp == 1 (pixel-center rays — the
+    device's stratified jitter is stochastic at spp > 1).
+
+    Returns (rmse_over_samples, worst_abs_err, (py, px) of the worst
+    pixel).  Mirrors the reference's host-vs-device image comparison
+    fidelity strategy (raycast/tracer.cpp:226-263) at sampled-pixel
+    granularity.
+    """
+    rng = np.random.default_rng(seed)
+    pix = rng.choice(width * height, size=min(n, width * height),
+                     replace=False)
+    px = (pix % width).astype(np.int64)
+    py = (pix // width).astype(np.int64)
+    x_ndc = (px + 0.5).astype(np.float32) / width - 0.5
+    y_ndc = (py + 0.5).astype(np.float32) / height - 0.5
+    pt = (x_ndc[:, None] * cam.viewplane[0] * cam.right
+          + y_ndc[:, None] * cam.viewplane[1] * cam.up + cam.forward)
+    d = np.asarray(vm.normalize(pt), np.float32)
+    o = np.broadcast_to(cam.pos, d.shape).astype(np.float32)
+    ref = render_golden(sb, cam, params, pix.size, 1, rays=(o, d))
+    ref = ref.reshape(-1, 3)
+    dev = np.asarray(img, np.float32)[py, px]
+    err = dev - ref
+    rmse = float(np.sqrt((err ** 2).mean()))
+    worst = int(np.abs(err).max(axis=1).argmax())
+    return rmse, float(np.abs(err[worst]).max()), (int(py[worst]),
+                                                   int(px[worst]))
+
+
 def render_golden(sb: SceneBuffers, cam: Camera, params: RenderParams,
                   width: int, height: int, rays=None) -> np.ndarray:
     """Full golden render: (H, W, 3) float32 radiance in [0, inf).
