@@ -146,6 +146,12 @@ def main(argv=None) -> int:
         print(f"PERF: tris={sb.num_tris} instances={sb.num_instances} "
               f"bvh_nodes={sb.bvh_min.shape[0]} tlas_nodes={sb.tlas_min.shape[0]} "
               f"rays={nrays} wall_ms={dt*1e3:.1f} mrays_per_s={mrays:.3f}")
+        if not args.cpu and args.engine == "wavefront":
+            # RTU PerfStats analog (rt_unit.h:15-45): primary-trace
+            # divergence/occupancy profile from the packet engine
+            for k, v in r.perf_trace(cam, params, args.width,
+                                     args.height).items():
+                print(f"PERF.trace: {k}={v}")
     if tracer is not None:
         tracer.save(args.trace_out)
         print(f"trace -> {args.trace_out}")

@@ -46,6 +46,7 @@ class ShaderContext(NamedTuple):
     ambient: jnp.ndarray        # (3,)
     background: jnp.ndarray     # (3,)
     max_depth: int
+    seed: jnp.ndarray = jnp.uint32(0)  # sampler stream (utils.sampling)
 
 
 class RayLanes(NamedTuple):
@@ -54,18 +55,25 @@ class RayLanes(NamedTuple):
 
 
 class PayloadLanes(NamedTuple):
-    """ray_payload_t analog (shaders/shader.h)."""
+    """ray_payload_t analog (shaders/shader.h), extended with the
+    per-lane sample index so stochastic shaders can draw deterministic
+    counter-based randoms (utils.sampling)."""
 
-    throughput: jnp.ndarray  # (R,)
+    throughput: jnp.ndarray  # (R,) luminance throughput (RGB in engine)
     bounce: jnp.ndarray      # (R,) i32
     pixel: jnp.ndarray       # (R,) i32
+    sample: jnp.ndarray      # (R,) u32 global sample index
 
 
 class ClosestOut(NamedTuple):
-    """What a closest-hit shader contributes back to the engine."""
+    """What a closest-hit shader contributes back to the engine.
+
+    ``mul_*`` is the RGB throughput multiplier for the spawned ray
+    (scalar reflectivity in the Whitted shader; colored albedo for
+    path-traced diffuse bounces)."""
 
     add_r: jnp.ndarray; add_g: jnp.ndarray; add_b: jnp.ndarray
-    throughput_mul: jnp.ndarray   # (R,) multiplier for surviving energy
+    mul_r: jnp.ndarray; mul_g: jnp.ndarray; mul_b: jnp.ndarray
     spawn: jnp.ndarray            # (R,) bool: emit a secondary ray
     sox: jnp.ndarray; soy: jnp.ndarray; soz: jnp.ndarray
     sdx: jnp.ndarray; sdy: jnp.ndarray; sdz: jnp.ndarray
@@ -90,10 +98,62 @@ def default_closest(ctx: ShaderContext, sp: ShadePoint, ray: RayLanes,
         add_r=one_m * dr + bg_r,
         add_g=one_m * dg + bg_g,
         add_b=one_m * db + bg_b,
-        throughput_mul=refl,
+        mul_r=refl, mul_g=refl, mul_b=refl,
         spawn=spawn,
         sox=sp.px + rx * 1e-3, soy=sp.py + ry * 1e-3, soz=sp.pz + rz * 1e-3,
         sdx=rx, sdy=ry, sdz=rz,
+    )
+
+
+def pathtrace_closest(ctx: ShaderContext, sp: ShadePoint, ray: RayLanes,
+                      payload: PayloadLanes) -> ClosestOut:
+    """Path-traced closest hit (BASELINE configs 3-4 "spp path trace"):
+    next-event-estimated direct light (shadow-gated via sp.lit, same as
+    the Whitted shader), then a sampled continuation — a mirror ray where
+    reflectivity > 0, else a cosine-weighted diffuse bounce with the
+    albedo as throughput weight (BRDF*cos/pdf == albedo for Lambertian).
+
+    Randoms are counter-based (utils.sampling) on (pixel, sample, bounce,
+    ctx.seed): the NumPy golden path tracer replays the exact same
+    stream, so device-vs-oracle image parity holds at any spp.  The
+    ambient term fires only at the primary hit (it is an approximation of
+    the indirect light the later bounces now compute for real)."""
+    from vortex_rt_tpu.utils import sampling as sam
+
+    dr, dg, db = diffuse_lighting_lanes(
+        sp, ctx.light_pos, ctx.light_color,
+        jnp.zeros(3, jnp.float32))
+    first = payload.bounce == 0
+    amb = jnp.where(first, 1.0, 0.0)
+    dr = dr + amb * ctx.ambient[0] * sp.color_r
+    dg = dg + amb * ctx.ambient[1] * sp.color_g
+    db = db + amb * ctx.ambient[2] * sp.color_b
+
+    refl = sp.reflectivity
+    mirror = refl > 0.0
+    # stream key is the GLOBAL sample index (payload.sample — frame seeds
+    # fold into it, engine.wavefront.frame_body), not ctx.seed: this way
+    # render_accum(k passes x s spp) replays the identical sample set as
+    # one spp=k*s frame, and the golden oracle needs no per-pass seeds
+    u1, u2 = sam.sample2(jnp, payload.pixel.astype(jnp.uint32),
+                         payload.sample, payload.bounce.astype(jnp.uint32),
+                         0, dim=1)
+    hx, hy, hz = sam.cosine_hemisphere(jnp, sp.nx, sp.ny, sp.nz, u1, u2)
+    rx, ry, rz = reflect_lanes(ray.dx, ray.dy, ray.dz, sp.nx, sp.ny, sp.nz)
+    sdx = jnp.where(mirror, rx, hx)
+    sdy = jnp.where(mirror, ry, hy)
+    sdz = jnp.where(mirror, rz, hz)
+    spawn = payload.bounce + 1 < ctx.max_depth
+    one_m = 1.0 - refl
+    return ClosestOut(
+        add_r=one_m * dr, add_g=one_m * dg, add_b=one_m * db,
+        mul_r=jnp.where(mirror, refl, sp.color_r),
+        mul_g=jnp.where(mirror, refl, sp.color_g),
+        mul_b=jnp.where(mirror, refl, sp.color_b),
+        spawn=spawn,
+        sox=sp.px + sdx * 1e-3, soy=sp.py + sdy * 1e-3,
+        soz=sp.pz + sdz * 1e-3,
+        sdx=sdx, sdy=sdy, sdz=sdz,
     )
 
 

@@ -55,6 +55,7 @@ from vortex_rt_tpu.ops.traverse2 import Hits, PerfCounters
 from vortex_rt_tpu.ops.traverse_wide import (
     WideArrays, commit, init_state_lanes, trace_lanes,
 )
+from vortex_rt_tpu.utils import sampling
 from vortex_rt_tpu.utils.config import COMMIT_CONT, LARGE_FLOAT, RTConfig
 from vortex_rt_tpu.utils.trace import maybe_span
 
@@ -99,24 +100,20 @@ def _tile_pixel_ids(q: jnp.ndarray, width: int, tile_w: int, tile_h: int,
     return px, py
 
 
-def _stratified_jitter(key, r: int, spp: int):
-    """Per-sample sub-pixel offsets: sample s lands in cell s of a
-    ceil(sqrt(spp))^2 stratum grid with a uniform jitter inside the cell
-    (the stochastic-sampling upgrade of GenerateRay's +0.5 center,
-    raycast/render.h:190-208).  spp == 1 keeps the reference's exact
-    pixel-center rays for golden parity."""
-    if spp == 1:
+def _jitter(pix, samp, total_spp: int):
+    """Per-sample sub-pixel offsets via the counter-based stratified
+    sampler (utils.sampling — bit-identical under NumPy, so the golden
+    path tracer replays the same rays).  The stochastic-sampling upgrade
+    of GenerateRay's +0.5 center (raycast/render.h:190-208); total_spp==1
+    keeps the reference's exact pixel-center rays for golden parity."""
+    if total_spp == 1:
         return 0.5, 0.5
-    g = int(np.ceil(np.sqrt(spp)))
-    s = jnp.arange(r, dtype=jnp.int32) % spp
-    cx = (s % g).astype(jnp.float32)
-    cy = (s // g).astype(jnp.float32)
-    u = jax.random.uniform(key, (r, 2))
-    return (cx + u[:, 0]) / g, (cy + u[:, 1]) / g
+    return sampling.stratified_jitter(jnp, pix.astype(jnp.uint32), samp,
+                                      total_spp, 0)
 
 
 def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
-                  key, n_pix: int = None, pix_offset=0,
+                  samp, total_spp: int, n_pix: int = None, pix_offset=0,
                   pix_perm: Optional[jnp.ndarray] = None
                   ) -> Tuple[jnp.ndarray, ...]:
     """Primary rays for the pool: R = n_pix*spp lanes, pixel-major (or
@@ -137,7 +134,7 @@ def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
         pix = pix_offset + base
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
-    jx, jy = _stratified_jitter(key, r, spp)
+    jx, jy = _jitter(pix, samp, total_spp)
     x_ndc = (px + jx) / width - 0.5
     y_ndc = (py + jy) / height - 0.5
     vx = x_ndc * cam.viewplane[0]
@@ -154,7 +151,8 @@ def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
 
 
 def _camera_lanes_tiled(cam: CameraArrays, width: int, height: int,
-                        spp: int, key, tile_w: int, tile_h: int,
+                        spp: int, samp, total_spp: int,
+                        tile_w: int, tile_h: int,
                         n_pix: int, row0: int):
     """Primary rays in tile-major pool order, R = n_pix*spp lanes, pixel
     coordinates computed arithmetically (zero gathers — see
@@ -168,7 +166,7 @@ def _camera_lanes_tiled(cam: CameraArrays, width: int, height: int,
     pix = pyi * width + pxi
     px = pxi.astype(jnp.float32)
     py = pyi.astype(jnp.float32)
-    jx, jy = _stratified_jitter(key, r, spp)
+    jx, jy = _jitter(pix, samp, total_spp)
     x_ndc = (px + jx) / width - 0.5
     y_ndc = (py + jy) / height - 0.5
     vx = x_ndc * cam.viewplane[0]
@@ -211,7 +209,7 @@ def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
 
     def chunk_body(args):
         (cox, coy, coz, cdx, cdy, cdz, calive, cthr, cbounce, cpix,
-         cclamp) = args
+         csamp, cclamp) = args
         t_max = jnp.where(calive, cclamp, -1.0)
         st = init_state_lanes(cox, coy, coz, cdx, cdy, cdz)
         st = st._replace(best_t=t_max, done=~calive)
@@ -232,7 +230,7 @@ def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
                     jnp.clip(s.pend_tri, 0, sa.shade_rows.shape[0] - 1),
                     jnp.clip(s.pend_inst, 0, sa.inst_shade.shape[0] - 1))
                 ray = RayLanes(cox, coy, coz, cdx, cdy, cdz)
-                pl = PayloadLanes(cthr, cbounce, cpix)
+                pl = PayloadLanes(cthr, cbounce, cpix, csamp)
                 action = table.anyhit(ctx, sp, ray, pl)
                 s = commit(s, jnp.where(s.suspended, action, COMMIT_CONT))
                 return s
@@ -250,11 +248,12 @@ def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
     def resh(a):
         return a.reshape(c, chunk)
 
-    thr, bounce, pix = payload
+    thr, bounce, pix, samp = payload
     outs = jax.lax.map(
         chunk_body,
         (resh(ox), resh(oy), resh(oz), resh(dx), resh(dy), resh(dz),
-         resh(alive), resh(thr), resh(bounce), resh(pix), resh(clamp)))
+         resh(alive), resh(thr), resh(bounce), resh(pix), resh(samp),
+         resh(clamp)))
     dist, bx, by, tri, inst, steps = outs
     return (dist.reshape(r), bx.reshape(r), by.reshape(r),
             tri.reshape(r), inst.reshape(r), steps.sum())
@@ -266,7 +265,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                table: ShaderTable = None, seed: int = 0,
                packet: int = 128, pix_perm=None, shadow: bool = False,
-               tile_w: int = 16, tile_h: int = 16):
+               tile_w: int = 16, tile_h: int = 16,
+               total_spp: Optional[int] = None):
     """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
     must be a whole number of rows for the tiled layout).  Returns
     ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
@@ -288,10 +288,14 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     protocol needs per-ray state)."""
     if table is None:
         table = ShaderTable()
+    seed_u = jnp.asarray(seed).astype(jnp.uint32)
     ctx = ShaderContext(
         shade=sa, light_pos=light.light_pos, light_color=light.light_color,
         ambient=light.ambient, background=light.background,
-        max_depth=max_depth)
+        max_depth=max_depth, seed=seed_u)
+    # total_spp: the stratification denominator — accumulation passes
+    # (render_accum) spread `spp` lanes per pass over spp*n_passes strata
+    total_spp = spp if total_spp is None else total_spp
 
     n_real = n_pix * spp
     rows = n_pix // width
@@ -301,14 +305,16 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     # path chunks by `chunk`
     quantum = packet if (packet > 0 and table.anyhit is None) else chunk
     r = ((n_real + quantum - 1) // quantum) * quantum
-    key = jax.random.PRNGKey(seed)
+    # global sample index per lane: pass `seed` contributes spp samples
+    samp = (seed_u * jnp.uint32(spp)
+            + (jnp.arange(n_real, dtype=jnp.int32) % spp).astype(jnp.uint32))
     if tiled:
         ox, oy, oz, dx, dy, dz, pix = _camera_lanes_tiled(
-            cam, width, height, spp, key, tile_w, tile_h, n_pix,
-            pix_offset // width)
+            cam, width, height, spp, samp, total_spp, tile_w, tile_h,
+            n_pix, pix_offset // width)
     else:
         ox, oy, oz, dx, dy, dz, pix = _camera_lanes(
-            cam, width, height, spp, key, n_pix=n_pix,
+            cam, width, height, spp, samp, total_spp, n_pix=n_pix,
             pix_offset=pix_offset, pix_perm=pix_perm)
 
     def pad(a, fill=0):
@@ -318,11 +324,14 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     ox, oy, oz = pad(ox), pad(oy), pad(oz)
     dx, dy, dz = pad(dx), pad(dy, 1.0), pad(dz)
     pix = pad(pix, -1)  # padding lanes get an out-of-range pixel id
+    samp = pad(samp)
     alive = jnp.arange(r, dtype=jnp.int32) < n_real
     rad_r = jnp.zeros(r, jnp.float32)
     rad_g = jnp.zeros(r, jnp.float32)
     rad_b = jnp.zeros(r, jnp.float32)
-    thr = jnp.ones(r, jnp.float32)
+    thr_r = jnp.ones(r, jnp.float32)
+    thr_g = jnp.ones(r, jnp.float32)
+    thr_b = jnp.ones(r, jnp.float32)
     bounce_ct = jnp.zeros(r, jnp.int32)
     rays_traced = jnp.int32(0)
     steps_total = jnp.int32(0)
@@ -346,7 +355,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 return h.dist, h.bx, h.by, h.tri, h.inst, st
             return _trace_pool(
                 wa, sa, ctx, table, (tox, toy, toz, tdx, tdy, tdz), act,
-                (thr, bounce_ct, pix), chunk, t_clamp=t_clamp)
+                ((thr_r + thr_g + thr_b) * (1.0 / 3.0), bounce_ct, pix,
+                 samp), chunk, t_clamp=t_clamp)
 
         rays_traced = rays_traced + alive.sum(dtype=jnp.int32)
         dist, bx, by, tri, inst, steps = _trace(ox, oy, oz, dx, dy, dz,
@@ -377,18 +387,21 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             occluded = sh_act & (sh_dist < dist_l * (1.0 - 1e-3))
             sp = sp._replace(lit=jnp.where(occluded, 0.0, 1.0))
         ray = RayLanes(ox, oy, oz, dx, dy, dz)
-        pl = PayloadLanes(thr, bounce_ct, pix)
+        pl = PayloadLanes((thr_r + thr_g + thr_b) * (1.0 / 3.0),
+                          bounce_ct, pix, samp)
 
         co = table.closest(ctx, sp, ray, pl)
         mr, mg, mb = table.miss(ctx, ray, pl)
 
-        rad_r = rad_r + jnp.where(hit, thr * co.add_r,
-                                  jnp.where(miss, thr * mr, 0.0))
-        rad_g = rad_g + jnp.where(hit, thr * co.add_g,
-                                  jnp.where(miss, thr * mg, 0.0))
-        rad_b = rad_b + jnp.where(hit, thr * co.add_b,
-                                  jnp.where(miss, thr * mb, 0.0))
-        thr = jnp.where(hit, thr * co.throughput_mul, thr)
+        rad_r = rad_r + jnp.where(hit, thr_r * co.add_r,
+                                  jnp.where(miss, thr_r * mr, 0.0))
+        rad_g = rad_g + jnp.where(hit, thr_g * co.add_g,
+                                  jnp.where(miss, thr_g * mg, 0.0))
+        rad_b = rad_b + jnp.where(hit, thr_b * co.add_b,
+                                  jnp.where(miss, thr_b * mb, 0.0))
+        thr_r = jnp.where(hit, thr_r * co.mul_r, thr_r)
+        thr_g = jnp.where(hit, thr_g * co.mul_g, thr_g)
+        thr_b = jnp.where(hit, thr_b * co.mul_b, thr_b)
 
         spawn = hit & co.spawn
         ox = jnp.where(spawn, co.sox, ox)
@@ -504,6 +517,48 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     return out, rays + r, steps + s
 
 
+@partial(jax.jit,
+         static_argnames=("width", "height", "max_depth", "spp", "chunk",
+                          "table", "packet", "shadow", "tile_w", "tile_h",
+                          "n_passes"))
+def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
+                 light: LightArrays, width: int, height: int,
+                 n_passes: int = 4, seed0=0,
+                 max_depth: int = 2, spp: int = 1, chunk: int = 4096,
+                 table: ShaderTable = None,
+                 packet: int = 128, shadow: bool = False,
+                 tile_w: int = 16, tile_h: int = 16):
+    """Progressive accumulation: average ``n_passes`` frames (stratified
+    over spp*n_passes total samples per pixel) inside ONE XLA program.
+    Returns ((H, W, 3) image, total rays, total steps).
+
+    This is how high-spp configs run at scale: BASELINE config 4 wants
+    8 spp over a 1080p 260k-tri scene; folding all samples into one pool
+    (R = w*h*8 = 16.6M lanes) would multiply traversal state past HBM
+    comfort, while each pass at spp lanes keeps pool memory flat and the
+    in-program lax.scan keeps dispatch count at one (ARCHITECTURE.md
+    rule 11).  Per iteration the scan carries only the (3, n_pix)
+    accumulator (one add per pass — unlike per-frame outputs, a carry
+    does not allocate per-iteration buffers)."""
+    total = spp * n_passes
+
+    def body(acc, seed):
+        img, rays, steps = frame_body(
+            wa, sa, cam, light, width, height, width * height, 0,
+            max_depth=max_depth, spp=spp, chunk=chunk, table=table,
+            seed=seed, packet=packet, shadow=shadow,
+            tile_w=tile_w, tile_h=tile_h, total_spp=total)
+        a_img, a_rays, a_steps = acc
+        return (a_img + img, a_rays + rays, a_steps + steps), None
+
+    seeds = jnp.asarray(seed0) + jnp.arange(n_passes, dtype=jnp.int32)
+    acc0 = (jnp.zeros((3, width * height), jnp.float32), jnp.int32(0),
+            jnp.int32(0))
+    (img, rays, steps), _ = jax.lax.scan(body, acc0, seeds)
+    out = (img * (1.0 / n_passes)).reshape(3, height, width)
+    return out.transpose(1, 2, 0), rays, steps
+
+
 # ---------------------------------------------------------------------------
 # host-orchestrated chunked path (TPU production mode)
 #
@@ -554,7 +609,7 @@ def _shade_pool_default(sa: ShadeArrays, light: LightArrays, max_depth: int,
     sp = shade_point(sa, ox, oy, oz, dx, dy, dz,
                      dist, bx, by, 1.0 - bx - by, tri_c, inst_c)
     ray = RayLanes(ox, oy, oz, dx, dy, dz)
-    pl = PayloadLanes(thr, bounce_ct, pix)
+    pl = PayloadLanes(thr, bounce_ct, pix, pix.astype(jnp.uint32))
     co = table.closest(ctx, sp, ray, pl)
     mr, mg, mb = table.miss(ctx, ray, pl)
     rad_r = rad_r + jnp.where(hit, thr * co.add_r,
@@ -563,7 +618,7 @@ def _shade_pool_default(sa: ShadeArrays, light: LightArrays, max_depth: int,
                               jnp.where(miss, thr * mg, 0.0))
     rad_b = rad_b + jnp.where(hit, thr * co.add_b,
                               jnp.where(miss, thr * mb, 0.0))
-    thr = jnp.where(hit, thr * co.throughput_mul, thr)
+    thr = jnp.where(hit, thr * co.mul_r, thr)
     spawn = hit & co.spawn
     ox = jnp.where(spawn, co.sox, ox)
     oy = jnp.where(spawn, co.soy, oy)
@@ -599,8 +654,10 @@ def _gen_pool(cam: CameraArrays, width: int, height: int, spp: int,
               chunk: int, seed: int = 0):
     n_real = width * height * spp
     r = ((n_real + chunk - 1) // chunk) * chunk
-    key = jax.random.PRNGKey(seed)
-    ox, oy, oz, dx, dy, dz, pix = _camera_lanes(cam, width, height, spp, key)
+    samp = (jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(spp)
+            + (jnp.arange(n_real, dtype=jnp.int32) % spp).astype(jnp.uint32))
+    ox, oy, oz, dx, dy, dz, pix = _camera_lanes(cam, width, height, spp,
+                                                samp, spp)
 
     def pad(a, fill=0):
         return jnp.concatenate(
@@ -667,8 +724,9 @@ class WavefrontRenderer:
         h = height or self.config.height
         if mode == "auto":
             mode = "fused"
+        table = self._table_for(params)
         if mode == "chunked":
-            if self.table != ShaderTable() or params.shadow:
+            if table != ShaderTable() or params.shadow:
                 # the chunked orchestrator shades with the default-table
                 # program only (and has no shadow pass); run fused
                 import warnings
@@ -683,11 +741,20 @@ class WavefrontRenderer:
         img, nrays, _ = render_frame(
             self.wa, self.sa, ca, light, w, h,
             max_depth=params.max_depth, spp=params.spp,
-            chunk=self.config.lanes, table=self.table,
+            chunk=self.config.lanes, table=table,
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             shadow=params.shadow)
         return np.asarray(img), int(nrays)
+
+    def _table_for(self, params: RenderParams) -> ShaderTable:
+        """params.pathtrace swaps the Whitted closest shader for the
+        path-traced one (configs 3-4 'spp path trace') unless the user
+        installed a custom table."""
+        if params.pathtrace and self.table == ShaderTable():
+            from vortex_rt_tpu.engine.shaders import pathtrace_closest
+            return ShaderTable(closest=pathtrace_closest)
+        return self.table
 
     def render_burst(self, cam: Camera, params: RenderParams,
                      width: Optional[int] = None,
@@ -707,12 +774,84 @@ class WavefrontRenderer:
         img, nrays, _ = render_burst(
             self.wa, self.sa, ca, light, w, h, n_frames=n_frames,
             seed0=seed0, max_depth=params.max_depth, spp=params.spp,
-            chunk=self.config.lanes, table=self.table,
+            chunk=self.config.lanes, table=self._table_for(params),
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             shadow=params.shadow)
         if rays_only:
             return int(nrays)
+        return np.asarray(img), int(nrays)
+
+    def perf_trace(self, cam: Camera, params: RenderParams,
+                   width: Optional[int] = None,
+                   height: Optional[int] = None) -> dict:
+        """Primary-trace divergence profile (the RTU PerfStats analog,
+        rt_unit.h:15-45): runs one primary wave with PacketStats enabled
+        and returns derived occupancy/divergence ratios.  Diagnostic
+        path — compiled separately from the render programs."""
+        w = width or self.config.width
+        h = height or self.config.height
+        p = self.config.packet_size or 128
+        ca, _ = self._dev_args(cam, params)
+        n_real = w * h * params.spp
+        r = ((n_real + p - 1) // p) * p
+
+        @partial(jax.jit, static_argnames=("spp", "tw", "th"))
+        def probe(wa, ca, spp: int, tw: int, th: int):
+            samp = (jnp.arange(n_real, dtype=jnp.int32)
+                    % spp).astype(jnp.uint32)
+            if w % tw == 0 and (n_real // spp) % w == 0 \
+                    and (n_real // spp // w) % th == 0:
+                lanes = _camera_lanes_tiled(ca, w, h, spp, samp,
+                                            spp, tw, th, w * h, 0)
+            else:
+                lanes = _camera_lanes(ca, w, h, spp, samp, spp)
+            ox, oy, oz, dx, dy, dz, pix = lanes
+
+            def pad(a, fill=0):
+                return (jnp.concatenate(
+                    [a, jnp.full(r - n_real, fill, a.dtype)])
+                    if r > n_real else a)
+
+            o3 = jnp.stack([pad(ox), pad(oy), pad(oz)], axis=1)
+            d3 = jnp.stack([pad(dx), pad(dy, 1.0), pad(dz)], axis=1)
+            act = jnp.arange(r, dtype=jnp.int32) < n_real
+            hits, st = trace_packets(self.wa, o3, d3, packet=p,
+                                     active=act, stats=True)
+            return st
+
+        st = jax.tree.map(int, probe(self.wa, ca, params.spp,
+                                     self.config.tile_w,
+                                     self.config.tile_h))
+        b = r // p
+        out = dict(steps=st.steps, packets=b, packet_size=p,
+                   packet_steps=st.packet_steps,
+                   occupancy=round(st.packet_steps / max(st.steps * b, 1),
+                                   4),
+                   rays_per_live_packet=round(
+                       st.ray_steps / max(st.packet_steps, 1), 2),
+                   int_steps=st.int_steps, tri_steps=st.tri_steps,
+                   ins_steps=st.ins_steps)
+        return out
+
+    def render_accum(self, cam: Camera, params: RenderParams,
+                     width: Optional[int] = None,
+                     height: Optional[int] = None,
+                     n_passes: int = 4, seed0: int = 0):
+        """Progressive high-spp render: averages ``n_passes`` frames of
+        ``params.spp`` samples each (stratified over the product) in one
+        dispatch — the scale-friendly way to hit BASELINE configs 3-4's
+        4/8 spp without multiplying pool memory.  Returns (image, rays)."""
+        w = width or self.config.width
+        h = height or self.config.height
+        ca, light = self._dev_args(cam, params)
+        img, nrays, _ = render_accum(
+            self.wa, self.sa, ca, light, w, h, n_passes=n_passes,
+            seed0=seed0, max_depth=params.max_depth, spp=params.spp,
+            chunk=self.config.lanes, table=self._table_for(params),
+            packet=self.config.packet_size,
+            tile_w=self.config.tile_w, tile_h=self.config.tile_h,
+            shadow=params.shadow)
         return np.asarray(img), int(nrays)
 
     def _render_chunked(self, cam: Camera, params: RenderParams,

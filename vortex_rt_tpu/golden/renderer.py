@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from vortex_rt_tpu.models.scene import Camera, RenderParams, SceneBuffers
+from vortex_rt_tpu.utils import sampling
 from vortex_rt_tpu.utils import vecmath as vm
 from vortex_rt_tpu.utils.config import LARGE_FLOAT, MT_EPSILON
 
@@ -217,6 +218,111 @@ def shade_hits(o, d, hits, sb: SceneBuffers, params: RenderParams):
     r = np.asarray(vm.normalize(vm.reflect(d, n)), np.float32)
     new_o = p + r * 1e-3
     return diffuse, refl, hit, new_o, r
+
+
+def render_golden_pt(sb: SceneBuffers, cam: Camera, params: RenderParams,
+                     width: int, height: int, spp: int = None,
+                     total_spp: int = None, seed: int = 0,
+                     pixels=None) -> np.ndarray:
+    """Golden PATH-TRACED render: replays the device integrator's exact
+    light paths.
+
+    The device path tracer (engine.shaders.pathtrace_closest) draws every
+    random from the counter-based sampler (utils.sampling) keyed on
+    (pixel, sample, bounce, seed); this oracle draws the SAME streams with
+    NumPy (bit-identical by construction, tests/test_sampling.py), so the
+    two images agree to fp tolerance at ANY spp — no comparison "in
+    expectation" needed.  Brute-force closest hits, like render_golden.
+
+    ``pixels``: optional (K,) flat pixel ids to render only a sample of
+    pixels (the scale-capable gate); returns (K, 3) then.
+    """
+    spp = params.spp if spp is None else spp
+    total_spp = spp if total_spp is None else total_spp
+    if pixels is None:
+        pixels = np.arange(width * height, dtype=np.uint32)
+    else:
+        pixels = np.asarray(pixels, np.uint32)
+    k = pixels.size
+    out = np.zeros((k, 3), np.float32)
+    light_pos = np.asarray(params.light_pos, np.float32)
+    light_color = np.asarray(params.light_color, np.float32)
+    ambient = np.asarray(params.ambient_color, np.float32)
+    background = np.asarray(params.background_color, np.float32)
+
+    for s in range(spp):
+        samp = np.full(k, np.uint32(seed) * np.uint32(spp) + np.uint32(s),
+                       np.uint32)
+        jx, jy = sampling.stratified_jitter(np, pixels, samp, total_spp, 0)
+        px = (pixels % width).astype(np.float32)
+        py = (pixels // width).astype(np.float32)
+        x_ndc = (px + jx) / width - 0.5
+        y_ndc = (py + jy) / height - 0.5
+        pt = (x_ndc[:, None] * cam.viewplane[0] * cam.right
+              + y_ndc[:, None] * cam.viewplane[1] * cam.up + cam.forward)
+        d = np.asarray(vm.normalize(pt), np.float32)
+        o = np.broadcast_to(cam.pos, d.shape).astype(np.float32).copy()
+
+        radiance = np.zeros((k, 3), np.float32)
+        thr = np.ones((k, 3), np.float32)
+        active = np.ones(k, bool)
+        for bounce in range(params.max_depth):
+            if not active.any():
+                break
+            hits = brute_force_hits(o, d, sb)
+            hit = hits["dist"] < LARGE_FLOAT
+            tri, inst = hits["tri"], hits["inst"]
+            bx, by, bz = hits["bx"], hits["by"], hits["bz"]
+            p = o + d * np.minimum(hits["dist"], 1e18)[..., None]
+            n = (sb.n1[tri] * bx[..., None] + sb.n2[tri] * by[..., None]
+                 + sb.n0[tri] * bz[..., None])
+            inv_t = sb.inst_inv_transpose[inst]
+            n = np.einsum("rij,rj->ri", inv_t[:, :3, :3], n)
+            n = np.asarray(vm.normalize(n), np.float32)
+            uv = (sb.uv1[tri] * bx[..., None] + sb.uv2[tri] * by[..., None]
+                  + sb.uv0[tri] * bz[..., None])
+            mat = sb.mat_id[tri]
+            albedo = tex_sample_np(uv, sb, mat)
+
+            # NEE direct light, shadow-gated like the device's shadow pass
+            lit = np.ones(k, np.float32)
+            if params.shadow:
+                lit = np.where(occlusion_np(p, sb, light_pos), 0.0, 1.0)
+            lvec = light_pos - p
+            dist_l = np.asarray(vm.length(lvec))
+            ldir = lvec / np.maximum(dist_l, 1e-20)[..., None]
+            att = 1.0 / (1.0 + dist_l * 0.1)
+            ndotl = np.maximum(0.0, vm.dot(n, ldir))
+            direct = albedo * (att * ndotl * lit)[..., None] * light_color
+            if bounce == 0:
+                direct = direct + albedo * ambient
+
+            miss_now = active & ~hit
+            radiance[miss_now] += thr[miss_now] * background
+
+            refl = sb.inst_reflectivity[inst]
+            mirror = refl > 0.0
+            h = active & hit
+            radiance[h] += thr[h] * ((1.0 - refl[h])[:, None] * direct[h])
+
+            # stream key is the global sample index (see
+            # engine.shaders.pathtrace_closest) — seed folds into samp
+            u1, u2 = sampling.sample2(
+                np, pixels, samp, np.full(k, bounce, np.uint32),
+                0, dim=1)
+            hx, hy, hz = sampling.cosine_hemisphere(
+                np, n[:, 0], n[:, 1], n[:, 2],
+                u1.astype(np.float32), u2.astype(np.float32))
+            rdir = np.asarray(vm.normalize(vm.reflect(d, n)), np.float32)
+            nd = np.where(mirror[:, None], rdir,
+                          np.stack([hx, hy, hz], -1)).astype(np.float32)
+            thr[h] *= np.where(mirror[h, None], refl[h, None], albedo[h])
+            spawn = h & (bounce + 1 < params.max_depth)
+            o = np.where(spawn[:, None], p + nd * 1e-3, o).astype(np.float32)
+            d = np.where(spawn[:, None], nd, d).astype(np.float32)
+            active = spawn
+        out += radiance
+    return out / spp
 
 
 def sample_pixel_parity(sb: SceneBuffers, cam: Camera, params: RenderParams,

@@ -161,6 +161,9 @@ class RenderParams:
     spp: int = 1
     max_depth: int = 2
     shadow: bool = False  # occlusion-tested direct lighting (shadow rays)
+    pathtrace: bool = False  # sampled diffuse bounces (configs 3-4
+                             # "spp path trace"); False = Whitted
+                             # reflection-only (reference semantics)
 
 
 # ---------------------------------------------------------------------------

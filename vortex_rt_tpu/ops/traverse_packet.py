@@ -37,7 +37,7 @@ which matches the reference's shipped pipeline (always-accept any-hit).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +70,29 @@ def _stack_pop_n(st, count, mask):
 from vortex_rt_tpu.utils.config import LARGE_FLOAT, MT_EPSILON
 
 
+class PacketStats(NamedTuple):
+    """RTU PerfStats analog (sim/simx/rt_unit.h:15-45 latency/SIMT
+    accounting, dormant in the reference): per-trace divergence and
+    occupancy aggregates, all cheap scalar reductions carried in the
+    traversal loop (enable with ``stats=True``).
+
+    occupancy  = packet_steps / (steps * B): fraction of packets still
+                 walking per iteration (persistent-lane headroom metric)
+    lane_util  = lane-steps in live packets / packet-steps / P would need
+                 per-ray liveness; we report live-packet lane counts
+                 (rays that can still improve their hit) as ray_steps
+    kind mix   = how many packet-steps landed on internal / triangle /
+                 instance nodes (memory-shape of the walk)
+    """
+
+    steps: jnp.ndarray          # loop iterations
+    packet_steps: jnp.ndarray   # sum over steps of live packets
+    ray_steps: jnp.ndarray      # sum over steps of live rays in live packets
+    int_steps: jnp.ndarray      # packet-steps at internal nodes
+    tri_steps: jnp.ndarray      # packet-steps at triangle leaves
+    ins_steps: jnp.ndarray      # packet-steps at instance leaves
+
+
 def trace_packets(
     wa: WideArrays,
     o: jnp.ndarray,
@@ -79,6 +102,7 @@ def trace_packets(
     max_steps: int = 400_000,
     t_max: Optional[jnp.ndarray] = None,
     occlusion: bool = False,
+    stats: bool = False,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
 
@@ -92,7 +116,10 @@ def trace_packets(
     stop contributing to the packet's visit union, and a packet whose live
     rays are all occluded exits.  Occluded rays return dist=0.0 (< t_max);
     unoccluded rays return dist=LARGE_FLOAT.  Barycentrics/tri ids are
-    meaningless in this mode."""
+    meaningless in this mode.
+
+    ``stats=True`` additionally carries PacketStats scalar aggregates in
+    the loop and returns (Hits, PacketStats) instead of (Hits, steps)."""
     r = o.shape[0]
     p = int(packet)
     assert r % p == 0, "ray count must be a multiple of the packet size"
@@ -132,6 +159,10 @@ def trace_packets(
         done=~jnp.any(ray_on, axis=1),
         steps=jnp.int32(0),
     )
+    if stats:
+        state.update(packet_steps=jnp.int32(0), ray_steps=jnp.int32(0),
+                     int_steps=jnp.int32(0), tri_steps=jnp.int32(0),
+                     ins_steps=jnp.int32(0))
     keys = list(state.keys())
 
     def cond(sl):
@@ -337,6 +368,15 @@ def trace_packets(
         done = s["done"] | dead
         if occlusion:
             done = done | ~jnp.any(ray_on & (best_t > 0.0), axis=1)
+        if stats:
+            live = act.sum(dtype=jnp.int32)
+            s["packet_steps"] = s["packet_steps"] + live
+            s["ray_steps"] = s["ray_steps"] + jnp.sum(
+                (ray_on & act[:, None]).sum(1, dtype=jnp.int32),
+                dtype=jnp.int32)
+            s["int_steps"] = s["int_steps"] + is_int.sum(dtype=jnp.int32)
+            s["tri_steps"] = s["tri_steps"] + is_tri.sum(dtype=jnp.int32)
+            s["ins_steps"] = s["ins_steps"] + is_ins.sum(dtype=jnp.int32)
         s.update(node=nxt, level=level, trail=trail, stack=stack,
                  scount=scount, inst=inst,
                  lox=lox, loy=loy, loz=loz, ldx=ldx_, ldy=ldy_, ldz=ldz_,
@@ -366,4 +406,9 @@ def trace_packets(
         bz=flat(1.0 - final["bx"] - final["by"]),
         tri=flat(final["tri"]), inst=flat(final["best_inst"]),
     )
+    if stats:
+        return hits, PacketStats(
+            steps=final["steps"], packet_steps=final["packet_steps"],
+            ray_steps=final["ray_steps"], int_steps=final["int_steps"],
+            tri_steps=final["tri_steps"], ins_steps=final["ins_steps"])
     return hits, final["steps"]
