@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vortex_rt_tpu.accel.lbvh import (
-    build_lbvh, morton3d, pad_tris, wide_arrays_from_lbvh,
+    build_lbvh, build_lbvh_topo, morton3d, pad_tris, refit_lbvh,
+    wide_arrays_from_lbvh,
 )
 from vortex_rt_tpu.accel.qbvh import KIND_INSTANCE, KIND_INTERNAL, KIND_TRIS
 from vortex_rt_tpu.golden.renderer import brute_force_hits
@@ -28,18 +29,19 @@ def test_morton_ordering():
 
 
 def _lbvh_structure_ok(nodes, leaf_size, t):
-    """Host-side structural validation of the packed pool."""
+    """Host-side structural validation of the packed 4-wide pool."""
     nodes = np.asarray(nodes)
     meta = nodes[:, 14]
     kind = meta >> 29
+    nch = (meta >> 26) & 7
     left = (meta & ((1 << 26) - 1)).astype(np.int64)
-    n = nodes.shape[0]
     assert kind[0] == KIND_INSTANCE
     # walk from the BLAS root: every leaf row referenced exactly once
     n_leaves = t // leaf_size
     covered = np.zeros(n_leaves, np.int32)
     stack = [1]
     seen = set()
+    max_w = 0
     while stack:
         x = stack.pop()
         assert x not in seen, "cycle in LBVH"
@@ -49,9 +51,16 @@ def _lbvh_structure_ok(nodes, leaf_size, t):
             covered[left[x]] += 1
         else:
             assert kind[x] == KIND_INTERNAL
-            stack += [int(left[x]), int(left[x]) + 1]
+            assert 2 <= nch[x] <= 4
+            max_w = max(max_w, int(nch[x]))
+            stack += [int(left[x]) + c for c in range(int(nch[x]))]
     assert (covered == 1).all()
-    assert len(seen) == n - 1  # every BLAS node reachable exactly once
+    # the collapse really produces wide nodes (not a renamed binary tree)
+    assert max_w >= 3
+    # unreferenced pool slots (skipped odd-depth internals) must be zero
+    for x in range(1, nodes.shape[0]):
+        if x not in seen:
+            assert (nodes[x] == 0).all()
 
 
 def test_lbvh_structure(rng):
@@ -85,17 +94,22 @@ def test_lbvh_boxes_contain_children(rng):
     kind = meta >> 29
     left = (meta & ((1 << 26) - 1)).astype(np.int64)
 
+    nch = (meta >> 26) & 7
+
     def subtree_pts(x):
         if kind[x] == KIND_TRIS:
             return [leaf_pts[left[x]]]
-        return subtree_pts(int(left[x])) + subtree_pts(int(left[x]) + 1)
+        out = []
+        for c in range(int(nch[x])):
+            out += subtree_pts(int(left[x]) + c)
+        return out
 
     for x in range(1, nodes.shape[0]):
         if kind[x] != KIND_INTERNAL:
             continue
         org = nodes[x, 0:3].view(np.float32)
         scl = nodes[x, 3:6].view(np.float32)
-        for c in range(2):
+        for c in range(int(nch[x])):
             ql = nodes[x, 6 + c]
             qh = nodes[x, 10 + c]
             lo = org + np.array([(ql >> s) & 255 for s in (0, 8, 16)]) * scl
@@ -141,6 +155,61 @@ def test_lbvh_rebuild_animated(rng):
         hits, _, _ = trace_rays_wide(wa, jnp.asarray(o), jnp.asarray(d))
         t = float(np.asarray(hits.dist)[0])
         assert abs(t - (4.0 + shift)) < 0.05, (shift, t)
+
+
+def test_lbvh_refit_fast_path(rng):
+    """refit_lbvh keeps topology and tracks moving geometry; its result
+    must equal a full rebuild when positions only translate (the Morton
+    order is translation-invariant up to quantization)."""
+    m = uv_sphere((0, 0, 0), 1.0, 8, 12)
+    v0, v1, v2 = pad_tris(m.v0, m.v1, m.v2, 4)
+    lb0, topo = build_lbvh_topo(jnp.asarray(v0), jnp.asarray(v1),
+                                jnp.asarray(v2), leaf_size=4)
+    o = np.tile(np.array([[0.0, 0.0, -5.0]], np.float32), (16, 1))
+    d = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (16, 1))
+    for shift in (0.0, 1.5):
+        off = np.array([0, 0, shift], np.float32)
+        lb = refit_lbvh(topo, jnp.asarray(v0 + off), jnp.asarray(v1 + off),
+                        jnp.asarray(v2 + off), leaf_size=4)
+        _lbvh_structure_ok(lb.nodes, 4, v0.shape[0])
+        wa = wide_arrays_from_lbvh(lb)
+        hits, _, _ = trace_rays_wide(wa, jnp.asarray(o), jnp.asarray(d))
+        t = float(np.asarray(hits.dist)[0])
+        assert abs(t - (4.0 + shift)) < 0.05, (shift, t)
+
+
+def test_lbvh_refit_parity_with_oracle(rng):
+    """Refit trees (deformed geometry, stale topology) still produce
+    exact closest hits — refit only loosens box quality, never wrongness."""
+    m = random_soup(rng, 256)
+    v0, v1, v2 = pad_tris(m.v0, m.v1, m.v2, 4)
+    _, topo = build_lbvh_topo(jnp.asarray(v0), jnp.asarray(v1),
+                              jnp.asarray(v2), leaf_size=4)
+    # deform: squash y, shear x by z
+    def deform(v):
+        w = v.copy()
+        w[:, 1] *= 0.5
+        w[:, 0] += 0.3 * w[:, 2]
+        return w
+    dv0, dv1, dv2 = deform(v0), deform(v1), deform(v2)
+    lb = refit_lbvh(topo, jnp.asarray(dv0), jnp.asarray(dv1),
+                    jnp.asarray(dv2), leaf_size=4)
+    wa = wide_arrays_from_lbvh(lb)
+    sc = Scene()
+    from vortex_rt_tpu.models.scene import make_mesh
+    sc.add_mesh(make_mesh(dv0, dv1, dv2))
+    sb = sc.build()
+    o = rng.uniform(-14, 14, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hits, state, _ = trace_rays_wide(wa, jnp.asarray(o), jnp.asarray(d))
+    ref = brute_force_hits(o, d, sb)
+    got = np.asarray(hits.dist)
+    np.testing.assert_array_equal(got < LARGE_FLOAT,
+                                  ref["dist"] < LARGE_FLOAT)
+    h = ref["dist"] < LARGE_FLOAT
+    np.testing.assert_allclose(got[h], ref["dist"][h], rtol=2e-4)
+    assert bool(np.asarray(state.done).all())
 
 
 def test_pad_tris():

@@ -1,4 +1,5 @@
-"""On-device LBVH: Morton sort + Karras hierarchy + refit + packed emit.
+"""On-device LBVH: Morton sort + Karras hierarchy + 4-wide collapse +
+refit + packed emit.
 
 New capability beyond the reference (whose BVH build is host-side binned
 SAH, bvh.cpp:30-109): a fully device-side (jittable) linear BVH so animated
@@ -11,16 +12,26 @@ Pipeline (all jax.numpy, one jit):
 2. stable sort by Morton code (ties break by index, matching the
    augmented-key convention Karras requires)
 3. Karras 2012 binary radix tree: per-internal-node range + split found
-   with fixed 32-step doubling/binary searches, fully vectorized over
+   with fixed-step doubling/binary searches, fully vectorized over
    nodes — no sequential build
 4. bottom-up AABB refit as a fixed-point sweep (children-ready masking)
-5. quantize + pack directly into the traversal engine's 64-byte node
-   records (ops.traverse_wide layout, nchild=2) — the tree goes from
-   vertex buffers to traversal-ready without leaving the device
+5. **collapse to the reference's 4-wide node shape** (rt_traversal.h
+   BVH_WIDTH=4): internal nodes at even depth survive and adopt their
+   grandchildren (arity 2-4), odd-depth internals vanish, leaves attach
+   to their nearest surviving ancestor.  Halves traversal depth and
+   fills the quantized child slots the engine tests per step — the
+   static builder's qbvh.collapse_flat, re-derived as vectorized
+   device arithmetic (prefix-sum slot allocation, no recursion)
+6. quantize + pack directly into the traversal engine's 64-byte node
+   records (ops.traverse_wide layout) — the tree goes from vertex
+   buffers to traversal-ready without leaving the device
 
-The emitted tree is binary (width 2); the restart-trail traversal handles
-any width <= 4, and the 64-level trail budget covers Karras depths for
-multi-million-triangle scenes.
+**Refit fast path** (config 5 animation): ``build_lbvh_topo`` returns the
+topology (Morton order, child lists, slot assignment); ``refit_lbvh``
+keeps it and only recomputes leaf boxes -> refit sweep -> requantize —
+no argsort, no Karras searches.  Valid while the motion keeps the Morton
+clustering acceptable (vertex-position animation); rebuild when quality
+decays.
 """
 
 from __future__ import annotations
@@ -64,47 +75,32 @@ class LBVHNodes(NamedTuple):
     num_leaves: jnp.ndarray
 
 
+class LBVHTopo(NamedTuple):
+    """Fixed topology for the refit fast path (config 5 animation).
+
+    All arrays are device-resident; shapes depend only on the triangle
+    count, so ``refit_lbvh`` re-jits only when the mesh size changes."""
+
+    order: jnp.ndarray      # (T,) Morton triangle permutation
+    lchild: jnp.ndarray     # (L-1,) Karras left child (old ids)
+    rchild: jnp.ndarray     # (L-1,)
+    surv: jnp.ndarray       # (L-1,) bool: survives the 4-wide collapse
+    ch_old: jnp.ndarray     # (L-1, 4) old ids of wide children (-1 = none)
+    arity: jnp.ndarray      # (L-1,)
+    base: jnp.ndarray       # (L-1,) new id of first wide child (survivors)
+    newid: jnp.ndarray      # (2L-1,) new id of surviving nodes
+
+
 def _clz32(x):
     return jax.lax.clz(x.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("leaf_size",))
-def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
-               leaf_size: int = 4) -> LBVHNodes:
-    """Device BVH build over triangles (T, 3)x3.  T must be a multiple of
-    ``leaf_size`` (pad with degenerate copies of the last tri if needed —
-    see ``pad_tris``)."""
-    t = v0.shape[0]
-    assert t % leaf_size == 0, "pad triangle count to a leaf_size multiple"
-    l = t // leaf_size
-    assert l >= 2, "need at least two leaves"
-
-    # ---- scene AABB + per-tri centroids -> morton ----
-    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
-    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
-    cen = (v0 + v1 + v2) / 3.0
-    smin = tmin.min(0)
-    smax = tmax.max(0)
-    ext = jnp.maximum(smax - smin, 1e-30)
-    n = (cen - smin) / ext
-    codes = morton3d(n[:, 0], n[:, 1], n[:, 2])
-
-    order = jnp.argsort(codes, stable=True).astype(jnp.int32)
-    scodes = codes[order]
-
-    # leaf clusters: consecutive `leaf_size` sorted tris; leaf key = the
-    # first tri's code (with the leaf index as tiebreak via delta below)
-    lcodes = scodes[::leaf_size]
-
-    # leaf AABBs
-    lmin = tmin[order].reshape(l, leaf_size, 3).min(1)
-    lmax = tmax[order].reshape(l, leaf_size, 3).max(1)
-
-    # ---- Karras radix tree over l leaves: l-1 internal nodes ----
+def _karras(lcodes, l):
+    """Vectorized Karras 2012 ranges/splits -> (lchild, rchild) old ids
+    (internal k in [0, l-1), leaf j at (l-1)+j)."""
     i_idx = jnp.arange(l - 1, dtype=jnp.int32)
 
     def delta(i, j):
-        """Common-prefix length of augmented keys (code, index)."""
         valid = (j >= 0) & (j < l)
         jj = jnp.clip(j, 0, l - 1)
         x = lcodes[i] ^ lcodes[jj]
@@ -118,13 +114,11 @@ def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     d = jnp.where(d_plus >= d_minus, 1, -1).astype(jnp.int32)
     delta_min = delta(i_idx, i_idx - d)
 
-    # doubling search for the range end (capped to avoid i32 overflow)
     lmax_s = jnp.full(l - 1, 2, jnp.int32)
     for _ in range(31):
         probe = delta(i_idx, i_idx + lmax_s * d)
         grow = probe > delta_min
         lmax_s = jnp.where(grow, jnp.minimum(lmax_s * 2, 2**28), lmax_s)
-    # binary search the exact length
     ln = jnp.zeros(l - 1, jnp.int32)
     step = lmax_s
     for _ in range(32):
@@ -133,7 +127,6 @@ def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
         ln = jnp.where(ok, ln + step, ln)
     j_end = i_idx + ln * d
 
-    # split search
     delta_node = delta(i_idx, j_end)
     s = jnp.zeros(l - 1, jnp.int32)
     step = ln
@@ -147,28 +140,26 @@ def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
 
     lo = jnp.minimum(i_idx, j_end)
     hi = jnp.maximum(i_idx, j_end)
-    # child is a leaf when the subrange is a single element
     left_is_leaf = lo == gamma
     right_is_leaf = hi == gamma + 1
-    # node ids: internal k -> k; leaf j -> (l - 1) + j
     lchild = jnp.where(left_is_leaf, (l - 1) + gamma, gamma)
     rchild = jnp.where(right_is_leaf, (l - 1) + gamma + 1, gamma + 1)
+    return lchild, rchild
 
-    # ---- refit: fixed-point union sweep ----
-    n_nodes = 2 * l - 1
+
+def _refit_sweep(lchild, rchild, lmin, lmax, l):
+    """Bottom-up AABB union as a fixed-point masked sweep."""
     bmin = jnp.concatenate([jnp.zeros((l - 1, 3)), lmin])
     bmax = jnp.concatenate([jnp.zeros((l - 1, 3)), lmax])
     ready = jnp.concatenate([jnp.zeros(l - 1, bool), jnp.ones(l, bool)])
 
-    def refit_cond(carry):
+    def cond(carry):
         _, _, ready, it = carry
         return jnp.logical_and(~ready.all(), it < 64)
 
-    def refit_body(carry):
+    def body(carry):
         bmin, bmax, ready, it = carry
-        cl = ready[lchild]
-        cr = ready[rchild]
-        can = cl & cr & ~ready[: l - 1]
+        can = ready[lchild] & ready[rchild] & ~ready[: l - 1]
         nmin = jnp.minimum(bmin[lchild], bmin[rchild])
         nmax = jnp.maximum(bmax[lchild], bmax[rchild])
         bmin = bmin.at[: l - 1].set(jnp.where(can[:, None], nmin,
@@ -178,74 +169,150 @@ def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
         ready = ready.at[: l - 1].set(ready[: l - 1] | can)
         return bmin, bmax, ready, it + 1
 
-    bmin, bmax, ready, _ = jax.lax.while_loop(
-        refit_cond, refit_body, (bmin, bmax, ready, jnp.int32(0)))
+    bmin, bmax, _, _ = jax.lax.while_loop(
+        cond, body, (bmin, bmax, ready, jnp.int32(0)))
+    return bmin, bmax
 
-    # ---- renumber so every child pair is contiguous ----
-    # The traversal engine addresses children as left_first + slot.  Karras
-    # children are scattered, so assign internal node k's child pair the
-    # BLAS-local ids (1 + 2k, 2 + 2k) — a bijection onto [1, 2l-1) with the
-    # root at 0 — and scatter records into that order.  A node's new id
-    # depends only on its parent's Karras index: fully parallel.
-    parent = jnp.zeros(n_nodes, jnp.int32)
-    side = jnp.zeros(n_nodes, jnp.int32)
-    parent = parent.at[lchild].set(i_idx)
+
+def _collapse4(lchild, rchild, l):
+    """Even-depth collapse of the binary Karras tree to width <= 4.
+
+    Returns (surv, ch_old, arity, base, newid):
+    * surv (l-1,): internal node survives (depth even)
+    * ch_old (l-1, 4): old ids of the survivor's wide children (-1 pad),
+      ordered [left-subtree..., right-subtree...]
+    * arity (l-1,)
+    * base (l-1,): new id of the survivor's first child (left_first)
+    * newid (2l-1,): new id per surviving old node (root -> 0; leaves and
+      surviving internals get child-slot ids; skipped internals -> -1)
+    """
+    n_nodes = 2 * l - 1
+    i_idx = jnp.arange(l - 1, dtype=jnp.int32)
+    parent = jnp.zeros(n_nodes, jnp.int32).at[lchild].set(i_idx)
     parent = parent.at[rchild].set(i_idx)
-    side = side.at[rchild].set(1)
-    old_ids = jnp.arange(n_nodes, dtype=jnp.int32)
-    newid = jnp.where(old_ids == 0, 0, 1 + 2 * parent + side)
 
-    # ---- quantize + pack (ops.traverse_wide node layout, nchild=2) ----
-    org = jnp.minimum(bmin[lchild], bmin[rchild])
-    extent = jnp.maximum(jnp.maximum(bmax[lchild], bmax[rchild]) - org, 1e-30)
+    # top-down depth sweep over internal nodes (Karras depth <= 58)
+    depth = jnp.zeros(l - 1, jnp.int32)
+    ready = (i_idx == 0)
+
+    def body(c):
+        depth, it, ready = c
+        p = parent[: l - 1]
+        can = ready[p] & ~ready & (i_idx != 0)
+        depth = jnp.where(can, depth[p] + 1, depth)
+        return depth, it + 1, ready | can
+
+    depth, _, _ = jax.lax.while_loop(
+        lambda c: jnp.logical_and(~c[2].all(), c[1] < 64), body,
+        (depth, jnp.int32(0), ready))
+
+    surv = (depth % 2) == 0
+
+    is_leaf_l = lchild >= (l - 1)
+    is_leaf_r = rchild >= (l - 1)
+    lc_s = jnp.clip(lchild, 0, l - 2)   # safe internal index
+    rc_s = jnp.clip(rchild, 0, l - 2)
+    a_left = jnp.where(is_leaf_l, 1, 2)
+    a_right = jnp.where(is_leaf_r, 1, 2)
+    arity = a_left + a_right
+
+    left0 = jnp.where(is_leaf_l, lchild, lchild[lc_s])
+    left1 = jnp.where(is_leaf_l, -1, rchild[lc_s])
+    right0 = jnp.where(is_leaf_r, rchild, lchild[rc_s])
+    right1 = jnp.where(is_leaf_r, -1, rchild[rc_s])
+
+    def slot(t):
+        in_left = t < a_left
+        li = jnp.where(t == 0, left0, left1)
+        u = t - a_left
+        ri = jnp.where(u == 0, right0, jnp.where(u == 1, right1, -1))
+        return jnp.where(in_left, li, jnp.where(t < arity, ri, -1))
+
+    ch_old = jnp.stack([slot(jnp.full(l - 1, t, jnp.int32))
+                        for t in range(4)], axis=1)
+
+    # new ids: root = 0; survivor children get contiguous slots after an
+    # exclusive prefix sum of survivor arities
+    contrib = jnp.where(surv, arity, 0)
+    base = 1 + jnp.cumsum(contrib) - contrib  # exclusive prefix + root slot
+
+    newid = jnp.full(n_nodes, -1, jnp.int32).at[0].set(0)
+    for t in range(4):
+        idx = ch_old[:, t]
+        val = base + t
+        ok = surv & (idx >= 0)
+        newid = newid.at[jnp.where(ok, idx, n_nodes)].set(
+            jnp.where(ok, val, 0), mode="drop")
+    return surv, ch_old, arity, base, newid
+
+
+def _f32bits(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+
+
+def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size):
+    """Quantize + scatter 4-wide records (old boxes -> new-id pool).
+
+    Same e = ceil(log2(extent/255)) floor/ceil quantization rule as the
+    reference (bvh.cpp:215-264) and the static packer (accel.qbvh)."""
+    n_nodes = 2 * l - 1
+    surv, ch_old, arity, base = (topo.surv, topo.ch_old, topo.arity,
+                                 topo.base)
+    ch_s = jnp.clip(ch_old, 0, n_nodes - 1)
+    cmin = bmin[ch_s]          # (l-1, 4, 3)
+    cmax = bmax[ch_s]
+    present = (ch_old >= 0)[..., None]
+    org = jnp.where(present, cmin, jnp.inf).min(1)
+    top = jnp.where(present, cmax, -jnp.inf).max(1)
+    extent = jnp.maximum(top - org, 1e-30)
     e = jnp.clip(jnp.ceil(jnp.log2(extent / 255.0)), -126, 127)
     scale = jnp.exp2(e).astype(jnp.float32)
 
     def qpack(b, lo_side):
-        q = (b - org) / scale
+        q = (b - org[:, None, :]) / scale[:, None, :]
         q = jnp.floor(q) if lo_side else jnp.ceil(q)
         q = jnp.clip(q, 0, 255).astype(jnp.uint32)
-        return q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+        return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
 
-    def f32bits(x):
-        return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-
-    # records in OLD order: internal k in [0, l-1), leaf j at (l-1)+j
     rec = jnp.zeros((n_nodes, 32), jnp.uint32)
-    rec = rec.at[: l - 1, 0].set(f32bits(org[:, 0]))
-    rec = rec.at[: l - 1, 1].set(f32bits(org[:, 1]))
-    rec = rec.at[: l - 1, 2].set(f32bits(org[:, 2]))
-    rec = rec.at[: l - 1, 3].set(f32bits(scale[:, 0]))
-    rec = rec.at[: l - 1, 4].set(f32bits(scale[:, 1]))
-    rec = rec.at[: l - 1, 5].set(f32bits(scale[:, 2]))
-    rec = rec.at[: l - 1, 6].set(qpack(bmin[lchild], True))
-    rec = rec.at[: l - 1, 7].set(qpack(bmin[rchild], True))
-    rec = rec.at[: l - 1, 10].set(qpack(bmax[lchild], False))
-    rec = rec.at[: l - 1, 11].set(qpack(bmax[rchild], False))
-    # left_first (merged pool) = 1 (TLAS root) + BLAS-local child base 1+2k
-    merged_left = (2 + 2 * i_idx).astype(jnp.uint32)
-    rec = rec.at[: l - 1, 14].set(
-        merged_left | (jnp.uint32(2) << _LEFT_BITS)
+    # survivor internal records, scattered at their new ids
+    srec = jnp.zeros((l - 1, 32), jnp.uint32)
+    srec = srec.at[:, 0].set(_f32bits(org[:, 0]))
+    srec = srec.at[:, 1].set(_f32bits(org[:, 1]))
+    srec = srec.at[:, 2].set(_f32bits(org[:, 2]))
+    srec = srec.at[:, 3].set(_f32bits(scale[:, 0]))
+    srec = srec.at[:, 4].set(_f32bits(scale[:, 1]))
+    srec = srec.at[:, 5].set(_f32bits(scale[:, 2]))
+    qlo = qpack(cmin, True)
+    qhi = qpack(cmax, False)
+    for c in range(4):
+        srec = srec.at[:, 6 + c].set(jnp.where(ch_old[:, c] >= 0,
+                                               qlo[:, c], 0))
+        srec = srec.at[:, 10 + c].set(jnp.where(ch_old[:, c] >= 0,
+                                                qhi[:, c], 0))
+    # left_first in the MERGED pool (offset 1 for the TLAS root record)
+    merged_left = (base + 1).astype(jnp.uint32)
+    srec = srec.at[:, 14].set(
+        merged_left | (arity.astype(jnp.uint32) << _LEFT_BITS)
         | (jnp.uint32(KIND_INTERNAL) << 29))
-    leaf_first = jnp.arange(l, dtype=jnp.uint32)  # leaf-row index
-    rec = rec.at[l - 1 :, 14].set(
+    sid = topo.newid[: l - 1]
+    rec = rec.at[jnp.where(surv, sid, n_nodes)].set(
+        jnp.where(surv[:, None], srec, 0), mode="drop")
+
+    # leaf records at their new ids
+    leaf_first = jnp.arange(l, dtype=jnp.uint32)
+    lrec = jnp.zeros((l, 32), jnp.uint32)
+    lrec = lrec.at[:, 14].set(
         leaf_first | (jnp.uint32(1) << _LEFT_BITS)
         | (jnp.uint32(KIND_TRIS) << 29))
-    rec = rec.at[l - 1 :, 15].set(jnp.uint32(leaf_size))
+    lrec = lrec.at[:, 15].set(jnp.uint32(leaf_size))
+    lid = topo.newid[l - 1:]
+    rec = rec.at[lid].set(lrec)
+    return rec
 
-    # scatter to new order; merged pool offset 1 for the TLAS root record
-    blas = jnp.zeros((n_nodes, 32), jnp.uint32).at[newid].set(rec)
-    tlas = jnp.zeros((1, 32), jnp.uint32)
-    tlas = tlas.at[0, 14].set(jnp.uint32(0) | (jnp.uint32(KIND_INSTANCE) << 29))
-    # identity inverse transform + BLAS root (merged node 1) inline
-    eye = jnp.asarray(
-        np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32)
-        .view(np.uint32))
-    tlas = tlas.at[0, 16:28].set(eye)
-    tlas = tlas.at[0, 28].set(jnp.uint32(1))
-    nodes = jnp.concatenate([tlas, blas])
 
-    # ---- leaf rows: `leaf_size` sorted tris per 64-float row ----
+def _leaf_rows(v0, v1, v2, order, l, leaf_size):
+    t = v0.shape[0]
     sv0 = v0[order]
     se1 = v1[order] - sv0
     se2 = v2[order] - sv0
@@ -255,14 +322,83 @@ def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     slot16 = slot16.at[:, 3:6].set(se1)
     slot16 = slot16.at[:, 6:9].set(se2)
     slot16 = slot16.at[:, 9].set(tids)
-    tri_rows = slot16.reshape(l, leaf_size * 16)
+    rows = slot16.reshape(l, leaf_size * 16)
     if leaf_size < 4:
-        tri_rows = jnp.concatenate(
-            [tri_rows, jnp.zeros((l, (4 - leaf_size) * 16), jnp.float32)],
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((l, (4 - leaf_size) * 16), jnp.float32)],
             axis=1)
+    return rows
 
-    return LBVHNodes(nodes=nodes, tri_rows=tri_rows,
-                     num_leaves=jnp.int32(l))
+
+def _tlas_root():
+    tlas = jnp.zeros((1, 32), jnp.uint32)
+    tlas = tlas.at[0, 14].set(jnp.uint32(0)
+                              | (jnp.uint32(KIND_INSTANCE) << 29))
+    eye = jnp.asarray(
+        np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32)
+        .view(np.uint32))
+    tlas = tlas.at[0, 16:28].set(eye)
+    tlas = tlas.at[0, 28].set(jnp.uint32(1))
+    return tlas
+
+
+def _leaf_boxes(v0, v1, v2, order, l, leaf_size):
+    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)[order]
+    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)[order]
+    return (tmin.reshape(l, leaf_size, 3).min(1),
+            tmax.reshape(l, leaf_size, 3).max(1))
+
+
+@partial(jax.jit, static_argnames=("leaf_size",))
+def build_lbvh_topo(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
+                    leaf_size: int = 4):
+    """Device BVH build -> (LBVHNodes, LBVHTopo).  T must be a multiple of
+    ``leaf_size`` (see ``pad_tris``)."""
+    t = v0.shape[0]
+    assert t % leaf_size == 0, "pad triangle count to a leaf_size multiple"
+    l = t // leaf_size
+    assert l >= 2, "need at least two leaves"
+
+    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+    cen = (v0 + v1 + v2) / 3.0
+    smin = tmin.min(0)
+    smax = tmax.max(0)
+    ext = jnp.maximum(smax - smin, 1e-30)
+    n = (cen - smin) / ext
+    codes = morton3d(n[:, 0], n[:, 1], n[:, 2])
+    order = jnp.argsort(codes, stable=True).astype(jnp.int32)
+    lcodes = codes[order][::leaf_size]
+
+    lchild, rchild = _karras(lcodes, l)
+    surv, ch_old, arity, base, newid = _collapse4(lchild, rchild, l)
+    topo = LBVHTopo(order=order, lchild=lchild, rchild=rchild, surv=surv,
+                    ch_old=ch_old, arity=arity, base=base, newid=newid)
+    return refit_lbvh(topo, v0, v1, v2, leaf_size=leaf_size), topo
+
+
+@partial(jax.jit, static_argnames=("leaf_size",))
+def refit_lbvh(topo: LBVHTopo, v0, v1, v2, leaf_size: int = 4) -> LBVHNodes:
+    """Refit-only fast path: keep the topology, recompute boxes +
+    requantize + repack.  No argsort, no Karras searches — the per-frame
+    animation update (BASELINE config 5; the reference has no analog,
+    its BVH is rebuilt on the host)."""
+    t = v0.shape[0]
+    l = t // leaf_size
+    lmin, lmax = _leaf_boxes(v0, v1, v2, topo.order, l, leaf_size)
+    bmin, bmax = _refit_sweep(topo.lchild, topo.rchild, lmin, lmax, l)
+    blas = _pack_wide(topo, bmin, bmax, l, leaf_size)
+    nodes = jnp.concatenate([_tlas_root(), blas])
+    rows = _leaf_rows(v0, v1, v2, topo.order, l, leaf_size)
+    return LBVHNodes(nodes=nodes, tri_rows=rows, num_leaves=jnp.int32(l))
+
+
+@partial(jax.jit, static_argnames=("leaf_size",))
+def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
+               leaf_size: int = 4) -> LBVHNodes:
+    """Device BVH build over triangles (T, 3)x3 -> packed 4-wide pool."""
+    lb, _ = build_lbvh_topo(v0, v1, v2, leaf_size=leaf_size)
+    return lb
 
 
 def wide_arrays_from_lbvh(lb: LBVHNodes, leaf_size: int = 4):
@@ -275,12 +411,10 @@ def wide_arrays_from_lbvh(lb: LBVHNodes, leaf_size: int = 4):
         tri_rows=lb.tri_rows,
         num_tlas=1,
         max_leaf_tris=leaf_size,
-        # Karras tree depth is bounded by the augmented-key prefix length:
-        # delta strictly increases along any root->leaf path and
-        # delta <= 32 + ceil(log2(l)) <= 58 for l < 2^26 leaves, so 62
-        # covers every buildable tree (the build asserts l < 2^26 via the
-        # 26-bit left_first budget)
-        depth=62,
+        # binary Karras depth is bounded by the augmented-key prefix
+        # length (delta <= 32 + 26 for l < 2^26 leaves); the even-depth
+        # collapse halves it, so 32 covers every buildable tree
+        depth=32,
     )
 
 

@@ -165,12 +165,20 @@ def default_miss(ctx: ShaderContext, ray: RayLanes, payload: PayloadLanes):
 
 
 def alpha_test_anyhit(threshold: float = 0.5):
-    """shaders/anyhit.cpp: alpha-test stub (alpha hardcoded 1.0 there, so
-    it always ACCEPTs).  Provided as a template for custom any-hit."""
+    """Texture-driven alpha cutout through the suspension protocol.
+
+    The reference's shipped anyhit.cpp is a stub (alpha hardcoded 1.0, so
+    it always ACCEPTs); this one does the real thing the stub gestures
+    at: sample the surface texture at the candidate hit (sp.color_* is
+    the texSample result at the suspended intersection's interpolated
+    uv) and treat its luminance as alpha — below ``threshold`` the hit is
+    rejected (COMMIT_CONT: traversal resumes past the surface,
+    rt_unit.cpp:190-213), at or above it the hit is accepted."""
 
     def shader(ctx: ShaderContext, sp: ShadePoint, ray: RayLanes,
                payload: PayloadLanes):
-        alpha = jnp.ones_like(sp.u)
+        alpha = (0.2126 * sp.color_r + 0.7152 * sp.color_g
+                 + 0.0722 * sp.color_b)
         return jnp.where(alpha < threshold,
                          jnp.int32(0),   # COMMIT_CONT (reject)
                          jnp.int32(COMMIT_ACCEPT)).astype(jnp.int32)

@@ -266,7 +266,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                table: ShaderTable = None, seed: int = 0,
                packet: int = 128, pix_perm=None, shadow: bool = False,
                tile_w: int = 16, tile_h: int = 16,
-               total_spp: Optional[int] = None):
+               total_spp: Optional[int] = None, tune_nonce: int = 0,
+               bilinear: bool = False):
     """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
     must be a whole number of rows for the tiled layout).  Returns
     ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
@@ -299,8 +300,13 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 
     n_real = n_pix * spp
     rows = n_pix // width
+    # pix_offset may be traced (multi-chip: dev * n_pix_local); row
+    # alignment is then an API precondition (n_pix_local is a whole
+    # number of rows, so every device offset is too)
+    off_aligned = (pix_offset % width == 0
+                   if isinstance(pix_offset, int) else True)
     tiled = (width % tile_w == 0 and n_pix % width == 0
-             and rows % tile_h == 0 and pix_offset % width == 0)
+             and rows % tile_h == 0 and off_aligned)
     # pool padding: packet mode only needs packet-multiples; the per-ray
     # path chunks by `chunk`
     quantum = packet if (packet > 0 and table.anyhit is None) else chunk
@@ -350,8 +356,12 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 d3 = jnp.stack([tdx, tdy, tdz], axis=1)
                 tc = (jnp.full(r, LARGE_FLOAT) if t_clamp is None
                       else t_clamp)
+                # tune_nonce perturbs the (never-reached) step budget so
+                # the HLO hash changes: the compile-basin redraw knob
+                # (runtime.warmup.reroll, ARCHITECTURE.md rule 13)
                 h, st = trace_packets(wa, o3, d3, packet=packet,
-                                      active=act, t_max=tc, occlusion=occl)
+                                      active=act, t_max=tc, occlusion=occl,
+                                      max_steps=400_000 + tune_nonce)
                 return h.dist, h.bx, h.by, h.tri, h.inst, st
             return _trace_pool(
                 wa, sa, ctx, table, (tox, toy, toz, tdx, tdy, tdz), act,
@@ -368,7 +378,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         tri_c = jnp.clip(tri, 0, sa.shade_rows.shape[0] - 1)
         inst_c = jnp.clip(inst, 0, sa.inst_shade.shape[0] - 1)
         sp = shade_point(sa, ox, oy, oz, dx, dy, dz,
-                         dist, bx, by, 1.0 - bx - by, tri_c, inst_c)
+                         dist, bx, by, 1.0 - bx - by, tri_c, inst_c,
+                         bilinear=bilinear)
         if shadow:
             # shadow rays: occlusion-test the direct light term
             # (BASELINE config 2 "primary + shadow rays")
@@ -433,45 +444,52 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
-                          "table", "packet", "shadow", "tile_w", "tile_h"))
+                          "table", "packet", "shadow", "tile_w", "tile_h",
+                          "bilinear"))
 def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      light: LightArrays, width: int, height: int,
                      max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                      table: ShaderTable = None, seed: int = 0,
                      packet: int = 128, shadow: bool = False,
-                     tile_w: int = 16, tile_h: int = 16):
+                     tile_w: int = 16, tile_h: int = 16,
+                     bilinear: bool = False):
     """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
     img, rays, steps = frame_body(
         wa, sa, cam, light, width, height, width * height, 0,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
-        packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h)
+        packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
+        bilinear=bilinear)
     return (img.reshape(3, height, width).transpose(1, 2, 0),
             rays, steps)
 
 
 def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
                  chunk=4096, table=None, seed=0, packet=128,
-                 tile_w=16, tile_h=16, shadow=False):
+                 tile_w=16, tile_h=16, shadow=False, bilinear=False):
     """Host wrapper around render_wavefront (kept as the stable API)."""
     return render_wavefront(
         wa, sa, cam, light, width, height, max_depth=max_depth, spp=spp,
         chunk=chunk, table=table, seed=seed, packet=packet,
-        shadow=shadow, tile_w=tile_w, tile_h=tile_h)
+        shadow=shadow, tile_w=tile_w, tile_h=tile_h, bilinear=bilinear)
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "n_frames"))
+                          "n_frames", "tune_nonce"))
 def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_frames: int = 16, seed0=0,
                  max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                  table: ShaderTable = None,
                  packet: int = 128, shadow: bool = False,
-                 tile_w: int = 16, tile_h: int = 16):
+                 tile_w: int = 16, tile_h: int = 16,
+                 tune_nonce: int = 0):
     """Render ``n_frames`` frames (seeds seed0..seed0+n-1) inside ONE XLA
-    program; returns (last (H, W, 3) image, total rays, total steps).
+    program, reduced to scalars; returns (checksum, total rays, total
+    steps).  No image output — callers that want the last frame render it
+    with render_wavefront as a separate program (see
+    WavefrontRenderer.render_burst).
 
     This is the sustained-throughput entry point: on the axon remote
     backend every dispatch pays a ~30 ms round trip once any D2H has
@@ -480,41 +498,30 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     frame loop inside the program (one dispatch per burst).  It is also
     the natural animation API (per-frame seeds advance the sampler).
 
-    Structure (measured, ARCHITECTURE.md rule 12): an in-program frame
-    loop must emit only SCALARS per iteration — returning even one
-    (3, n_pix) plane from the lax.map body costs ~78 ms/frame in loop
-    buffer writes, two orders of magnitude over the ~0.2 ms it should.
-    So frames 0..n-2 run in a lax.map that reduces each image to a
-    checksum (which keeps shading, shadow traces and radiance live — the
-    ray/step counters alone would let XLA dead-code the lighting), and
-    the LAST frame runs outside the loop, materializing the one image the
-    caller gets."""
+    Structure (measured, docs/ARCHITECTURE.md rules 12-13): the fast
+    compile basin on the axon backend has only been observed for
+    map-wrapped frame bodies whose per-iteration outputs are SCALARS and
+    whose scene arrays enter as jit parameters.  The per-frame image is
+    reduced to a checksum, which keeps shading, shadow traces and
+    radiance live (the ray/step counters alone would let XLA dead-code
+    the lighting).  Which basin a given program lands in is a
+    deterministic function of the exact HLO, but is effectively a
+    lottery across innocuous program changes — ``tune_nonce`` perturbs
+    the program hash (via the traversal step budget) so
+    runtime.warmup.reroll can redraw until a fast artifact lands in the
+    persistent compile cache."""
 
     def body(seed):
         img, rays, steps = frame_body(
             wa, sa, cam, light, width, height, width * height, 0,
             max_depth=max_depth, spp=spp, chunk=chunk, table=table,
             seed=seed, packet=packet, shadow=shadow,
-            tile_w=tile_w, tile_h=tile_h)
+            tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce)
         return img.sum(), rays, steps
 
     seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
-    rays = jnp.int32(0)
-    steps = jnp.int32(0)
-    cks = jnp.float32(0)
-    if n_frames > 1:
-        c, r, s = jax.lax.map(body, seeds[:-1])
-        rays, steps, cks = rays + r.sum(), steps + s.sum(), cks + c.sum()
-    img, r, s = frame_body(
-        wa, sa, cam, light, width, height, width * height, 0,
-        max_depth=max_depth, spp=spp, chunk=chunk, table=table,
-        seed=seeds[-1], packet=packet, shadow=shadow,
-        tile_w=tile_w, tile_h=tile_h)
-    # cks rides the image's DC channel so the mapped frames' lighting
-    # cannot be dead-coded while staying invisible at f32 precision
-    eps = cks * jnp.float32(1e-30)
-    out = img.reshape(3, height, width).transpose(1, 2, 0) + eps
-    return out, rays + r, steps + s
+    c, r, s = jax.lax.map(body, seeds)
+    return c.sum(), r.sum(), s.sum()
 
 
 @partial(jax.jit,
@@ -744,7 +751,8 @@ class WavefrontRenderer:
             chunk=self.config.lanes, table=table,
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
-            shadow=params.shadow)
+            shadow=params.shadow,
+            bilinear=self.config.tex_filter == "bilinear")
         return np.asarray(img), int(nrays)
 
     def _table_for(self, params: RenderParams) -> ShaderTable:
@@ -771,16 +779,24 @@ class WavefrontRenderer:
         w = width or self.config.width
         h = height or self.config.height
         ca, light = self._dev_args(cam, params)
-        img, nrays, _ = render_burst(
+        _, nrays, _ = render_burst(
             self.wa, self.sa, ca, light, w, h, n_frames=n_frames,
             seed0=seed0, max_depth=params.max_depth, spp=params.spp,
             chunk=self.config.lanes, table=self._table_for(params),
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
-            shadow=params.shadow)
+            shadow=params.shadow, tune_nonce=self._dev_cache.get("nonce", 0))
         if rays_only:
             return int(nrays)
-        return np.asarray(img), int(nrays)
+        # the burst program is scalar-only (fast compile basin); the last
+        # frame's image comes from the separate single-frame program
+        img, _ = self.render(cam, params, w, h)
+        return img, int(nrays)
+
+    def set_tune_nonce(self, nonce: int) -> None:
+        """Install the compile-basin nonce chosen by runtime.warmup.reroll
+        (perturbs the burst program hash; see render_burst docstring)."""
+        self._dev_cache["nonce"] = int(nonce)
 
     def perf_trace(self, cam: Camera, params: RenderParams,
                    width: Optional[int] = None,

@@ -136,6 +136,36 @@ def tex_sample_np(uv: np.ndarray, sb: SceneBuffers, mat: np.ndarray) -> np.ndarr
     return np.where(has[..., None], tex, sb.mat_diffuse[mat])
 
 
+def tex_sample_bi_np(uv: np.ndarray, sb: SceneBuffers,
+                     mat: np.ndarray) -> np.ndarray:
+    """Bilinear texel fetch (rtx_shading.h texSampleBi /
+    raycast/render.h:24-56): floor first, wrap each tap independently."""
+    w = sb.mat_tex_w[mat]
+    h = sb.mat_tex_h[mat]
+    off = sb.mat_tex_offset[mat]
+    has = off >= 0
+    ws = np.maximum(w, 1).astype(np.int64)
+    hs = np.maximum(h, 1).astype(np.int64)
+    u = uv[..., 0] * ws
+    v = uv[..., 1] * hs
+    x0 = np.floor(u)
+    y0 = np.floor(v)
+    fu = (u - x0).astype(np.float32)[..., None]
+    fv = (v - y0).astype(np.float32)[..., None]
+    x0i = x0.astype(np.int64) % ws
+    y0i = y0.astype(np.int64) % hs
+    x1i = (x0.astype(np.int64) + 1) % ws
+    y1i = (y0.astype(np.int64) + 1) % hs
+
+    def tap(xi, yi):
+        return rgb8_to_rgb32f(sb.texels[np.where(has, off + xi + yi * ws, 0)])
+
+    cx0 = tap(x0i, y0i) * (1 - fu) + tap(x1i, y0i) * fu
+    cx1 = tap(x0i, y1i) * (1 - fu) + tap(x1i, y1i) * fu
+    tex = cx0 * (1 - fv) + cx1 * fv
+    return np.where(has[..., None], tex, sb.mat_diffuse[mat])
+
+
 def diffuse_lighting_np(p, n, diffuse_color, ambient, light_color, light_pos):
     """rtx_shading.h diffuseLighting: attenuated N.L with ambient term."""
     l = light_pos - p
@@ -173,7 +203,8 @@ def occlusion_np(p, sb: SceneBuffers, light_pos, eps: float = 1e-3):
     return sh["dist"] < dist * (1.0 - 1e-3)
 
 
-def shade_hits(o, d, hits, sb: SceneBuffers, params: RenderParams):
+def shade_hits(o, d, hits, sb: SceneBuffers, params: RenderParams,
+               bilinear: bool = False):
     """One bounce of the Trace() loop body on arrays of rays with hit info.
 
     Returns (diffuse_contrib (R,3), reflectivity (R,), hit_mask (R,),
@@ -197,7 +228,7 @@ def shade_hits(o, d, hits, sb: SceneBuffers, params: RenderParams):
     uv = (sb.uv1[tri] * bx[..., None] + sb.uv2[tri] * by[..., None]
           + sb.uv0[tri] * bz[..., None])
     mat = sb.mat_id[tri]
-    tex_color = tex_sample_np(uv, sb, mat)
+    tex_color = (tex_sample_bi_np if bilinear else tex_sample_np)(uv, sb, mat)
     diffuse = diffuse_lighting_np(
         p, n, tex_color,
         np.asarray(params.ambient_color, np.float32),
@@ -364,7 +395,8 @@ def sample_pixel_parity(sb: SceneBuffers, cam: Camera, params: RenderParams,
 
 
 def render_golden(sb: SceneBuffers, cam: Camera, params: RenderParams,
-                  width: int, height: int, rays=None) -> np.ndarray:
+                  width: int, height: int, rays=None,
+                  bilinear: bool = False) -> np.ndarray:
     """Full golden render: (H, W, 3) float32 radiance in [0, inf).
 
     ``rays``: optional (o, d) override so callers can compare against a
@@ -385,7 +417,8 @@ def render_golden(sb: SceneBuffers, cam: Camera, params: RenderParams,
         if not active.any():
             break
         hits = brute_force_hits(o, d, sb)
-        diffuse, refl, hit, new_o, new_d = shade_hits(o, d, hits, sb, params)
+        diffuse, refl, hit, new_o, new_d = shade_hits(o, d, hits, sb, params,
+                                                      bilinear=bilinear)
 
         miss_now = active & ~hit
         radiance[miss_now] += throughput[miss_now, None] * background

@@ -124,10 +124,25 @@ class ShadePoint(NamedTuple):
     lit: jnp.ndarray  # 1.0 = light visible, 0.0 = shadowed (shadow rays)
 
 
+def _tex_fetch(sa: ShadeArrays, idx):
+    """(R,) texel-pool index -> RGB f32 lanes (RGB8toRGB32F, common.h)."""
+    texel = sa.texels[jnp.clip(idx, 0, sa.texels.shape[0] - 1)]
+    s = jnp.float32(1.0 / 256.0)
+    return (((texel >> 16) & 255).astype(jnp.float32) * s,
+            ((texel >> 8) & 255).astype(jnp.float32) * s,
+            (texel & 255).astype(jnp.float32) * s)
+
+
 def shade_point(sa: ShadeArrays,
                 ox, oy, oz, dx, dy, dz,
-                dist, bx, by, bz, tri, inst) -> ShadePoint:
-    """Fetch + interpolate everything at a hit (closest.cpp:60-83)."""
+                dist, bx, by, bz, tri, inst,
+                bilinear: bool = False) -> ShadePoint:
+    """Fetch + interpolate everything at a hit (closest.cpp:60-83).
+
+    ``bilinear=True`` switches the texel fetch from point sampling
+    (rtx_shading.h texSample) to the reference's bilinear filter
+    (texSampleBi, raycast/render.h:24-56: floor first, wrap each of the
+    four taps independently)."""
     t = jnp.minimum(dist, 1e18)
     px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
 
@@ -153,14 +168,34 @@ def shade_point(sa: ShadeArrays,
     tw = jnp.maximum(_bitcast_i32(mrow[:, 4]), 1)
     th = jnp.maximum(_bitcast_i32(mrow[:, 5]), 1)
     has_tex = toff >= 0
-    iu = jnp.floor(u * tw).astype(jnp.int32) % tw
-    iv = jnp.floor(v * th).astype(jnp.int32) % th
-    tex_idx = jnp.where(has_tex, toff + iu + iv * tw, 0)
-    texel = sa.texels[jnp.clip(tex_idx, 0, sa.texels.shape[0] - 1)]
-    s = jnp.float32(1.0 / 256.0)  # RGB8toRGB32F scale (common.h)
-    tr = ((texel >> 16) & 255).astype(jnp.float32) * s
-    tg = ((texel >> 8) & 255).astype(jnp.float32) * s
-    tb = (texel & 255).astype(jnp.float32) * s
+    if not bilinear:
+        iu = jnp.floor(u * tw).astype(jnp.int32) % tw
+        iv = jnp.floor(v * th).astype(jnp.int32) % th
+        tex_idx = jnp.where(has_tex, toff + iu + iv * tw, 0)
+        tr, tg, tb = _tex_fetch(sa, tex_idx)
+    else:
+        uu = u * tw
+        vv = v * th
+        x0 = jnp.floor(uu)
+        y0 = jnp.floor(vv)
+        fu = (uu - x0).astype(jnp.float32)
+        fv = (vv - y0).astype(jnp.float32)
+        x0i = x0.astype(jnp.int32) % tw
+        y0i = y0.astype(jnp.int32) % th
+        x1i = (x0.astype(jnp.int32) + 1) % tw
+        y1i = (y0.astype(jnp.int32) + 1) % th
+
+        def tap(xi, yi):
+            return _tex_fetch(sa, jnp.where(has_tex, toff + xi + yi * tw, 0))
+
+        c00 = tap(x0i, y0i)
+        c10 = tap(x1i, y0i)
+        c01 = tap(x0i, y1i)
+        c11 = tap(x1i, y1i)
+        tr, tg, tb = (
+            (c00[k] * (1 - fu) + c10[k] * fu) * (1 - fv)
+            + (c01[k] * (1 - fu) + c11[k] * fu) * fv
+            for k in range(3))
     cr = jnp.where(has_tex, tr, mrow[:, 0])
     cg = jnp.where(has_tex, tg, mrow[:, 1])
     cb = jnp.where(has_tex, tb, mrow[:, 2])

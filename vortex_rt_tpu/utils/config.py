@@ -69,6 +69,8 @@ class RTConfig:
     height: int = 256
     spp: int = 1
     max_depth: int = 2          # bounce budget (reference -d flag)
+    tex_filter: str = "point"   # 'point' (texSample) or 'bilinear'
+                                # (texSampleBi, raycast/render.h:8-56)
     tile_w: int = 16            # pixel tile per packet (the reference maps
     tile_h: int = 8             # 8x8 blocks to cores, kernel.cpp:128-133;
                                 # tile_w*tile_h should equal packet_size)
