@@ -64,7 +64,12 @@ def main() -> None:
     width = height = 512
     cam = Camera.look_at([0.05, 0.02, -3.2], [0.0, -0.05, 0.0], [0, 1, 0],
                          45.0, 1.0)
-    params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, shadow=True)
+    # spp=2: at spp=1 every frame of a burst is bit-identical (pixel-center
+    # rays, deterministic integrator) and XLA legally hoists the frame out
+    # of the burst loop, inflating Mrays/s ~n_frames-fold.  spp>=2 makes
+    # frames genuinely distinct (seeded stratified jitter).
+    params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, shadow=True,
+                          spp=2)
     r = WavefrontRenderer.from_buffers(sb)
 
     burst = 16
@@ -94,7 +99,7 @@ def main() -> None:
     mrays = total_rays / dt / 1e6
     print(json.dumps({
         "metric": ("Mrays/s sustained (wavefront+packets, cornell+teapot, "
-                   "512x512, 2-bounce + shadow rays, 16-frame bursts)"),
+                   "512x512 spp2, 2-bounce + shadow rays, 16-frame bursts)"),
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),

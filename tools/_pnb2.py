@@ -17,11 +17,12 @@ sb = bench_scene()
 cam = Camera.look_at([0.05, 0.02, -3.2], [0.0, -0.05, 0.0], [0, 1, 0],
                      45.0, 1.0)
 r = WavefrontRenderer.from_buffers(sb)
-p_ns = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2)
-p_sh = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, shadow=True)
+p_ns = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, spp=2)
+p_sh = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, shadow=True,
+                    spp=2)
 
 for name, p in (("noshadow", p_ns), ("shadow", p_sh)):
-    for nb in (4, 8, 16):
+    for nb in (8, 16, 32, 64):
         t0 = time.perf_counter()
         r.render_burst(cam, p, 512, 512, n_frames=nb, rays_only=True)
         tc = time.perf_counter() - t0

@@ -259,79 +259,18 @@ def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
             tri.reshape(r), inst.reshape(r), steps.sum())
 
 
-def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
-               light: LightArrays, width: int, height: int,
-               n_pix: int, pix_offset: int,
-               max_depth: int = 2, spp: int = 1, chunk: int = 4096,
-               table: ShaderTable = None, seed: int = 0,
-               packet: int = 128, pix_perm=None, shadow: bool = False,
-               tile_w: int = 16, tile_h: int = 16,
-               total_spp: Optional[int] = None, tune_nonce: int = 0,
-               bilinear: bool = False):
-    """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
-    must be a whole number of rows for the tiled layout).  Returns
-    ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
-    render_wavefront (whole frame) and parallel.tiles (row block per
-    device).
-
-    Measured design (v5e, docs/ARCHITECTURE.md): the packet engine's
-    while_loop costs ~13 us/iteration at 2048 packets and ONE loop over
-    the whole pool needs ~1/17th the iterations of 64 lax.map groups, so
-    every trace is a single trace_packets call; pool-scale argsorts and
-    gathers cost 8-25 ms EACH, so the frame has none — pixel ids are
-    integer arithmetic on the lane index, rays never move between lanes
-    (no per-bounce compaction), and the spp/tile resolve is a pure
-    reshape+transpose.
-
-    ``packet`` > 0 traces with the packet engine (ops.traverse_packet)
-    when no any-hit shader is bound; 0 forces the per-ray engine (which
-    still chunks by ``chunk`` over a lax.map — the any-hit suspension
-    protocol needs per-ray state)."""
-    if table is None:
-        table = ShaderTable()
-    seed_u = jnp.asarray(seed).astype(jnp.uint32)
-    ctx = ShaderContext(
-        shade=sa, light_pos=light.light_pos, light_color=light.light_color,
-        ambient=light.ambient, background=light.background,
-        max_depth=max_depth, seed=seed_u)
-    # total_spp: the stratification denominator — accumulation passes
-    # (render_accum) spread `spp` lanes per pass over spp*n_passes strata
-    total_spp = spp if total_spp is None else total_spp
-
-    n_real = n_pix * spp
-    rows = n_pix // width
-    # pix_offset may be traced (multi-chip: dev * n_pix_local); row
-    # alignment is then an API precondition (n_pix_local is a whole
-    # number of rows, so every device offset is too)
-    off_aligned = (pix_offset % width == 0
-                   if isinstance(pix_offset, int) else True)
-    tiled = (width % tile_w == 0 and n_pix % width == 0
-             and rows % tile_h == 0 and off_aligned)
-    # pool padding: packet mode only needs packet-multiples; the per-ray
-    # path chunks by `chunk`
-    quantum = packet if (packet > 0 and table.anyhit is None) else chunk
-    r = ((n_real + quantum - 1) // quantum) * quantum
-    # global sample index per lane: pass `seed` contributes spp samples
-    samp = (seed_u * jnp.uint32(spp)
-            + (jnp.arange(n_real, dtype=jnp.int32) % spp).astype(jnp.uint32))
-    if tiled:
-        ox, oy, oz, dx, dy, dz, pix = _camera_lanes_tiled(
-            cam, width, height, spp, samp, total_spp, tile_w, tile_h,
-            n_pix, pix_offset // width)
-    else:
-        ox, oy, oz, dx, dy, dz, pix = _camera_lanes(
-            cam, width, height, spp, samp, total_spp, n_pix=n_pix,
-            pix_offset=pix_offset, pix_perm=pix_perm)
-
-    def pad(a, fill=0):
-        return jnp.concatenate(
-            [a, jnp.full(r - n_real, fill, a.dtype)]) if r > n_real else a
-
-    ox, oy, oz = pad(ox), pad(oy), pad(oz)
-    dx, dy, dz = pad(dx), pad(dy, 1.0), pad(dz)
-    pix = pad(pix, -1)  # padding lanes get an out-of-range pixel id
-    samp = pad(samp)
-    alive = jnp.arange(r, dtype=jnp.int32) < n_real
+def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
+                   alive, max_depth, shadow, bilinear, packet, chunk,
+                   tune_nonce, slab):
+    """The bounce pipeline over one lane set (trace + shadow occlusion +
+    shade + spawn, max_depth waves).  Works at any lane count: the
+    slab-major frame maps it over VMEM-sized groups (every intermediate
+    — hit records, shade rows, radiance — then lives at slab size, which
+    removes the pool-scale HBM round trips that dominated the monolithic
+    frame: measured 72.6 -> see ARCHITECTURE.md rule 14), and the
+    chunked/anyhit path runs it once over the whole pool."""
+    ox, oy, oz, dx, dy, dz = lanes
+    r = ox.shape[0]
     rad_r = jnp.zeros(r, jnp.float32)
     rad_g = jnp.zeros(r, jnp.float32)
     rad_b = jnp.zeros(r, jnp.float32)
@@ -350,7 +289,15 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 
             ``t_clamp`` bounds the search interval; ``occl=True`` runs the
             packet engine's any-hit occlusion mode (first hit retires the
-            ray — the bounded shadow query, rt_unit.cpp:190-213)."""
+            ray — the bounded shadow query, rt_unit.cpp:190-213).
+
+            The pool is traced in ``slab``-ray groups (lax.map): the
+            packet while_loop is bound by loop-state HBM traffic (~100 B
+            r/w per ray per iteration), so groups small enough for their
+            state to stay VMEM-resident cut the per-iteration cost ~2.5x
+            at 512x512 spp2 even though summed iteration counts rise
+            (measured; ARCHITECTURE.md rule 14).  Groups also exit their
+            loops early on sparse waves (bounce/shadow tails)."""
             if packet > 0 and table.anyhit is None and r % packet == 0:
                 o3 = jnp.stack([tox, toy, toz], axis=1)
                 d3 = jnp.stack([tdx, tdy, tdz], axis=1)
@@ -359,9 +306,28 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 # tune_nonce perturbs the (never-reached) step budget so
                 # the HLO hash changes: the compile-basin redraw knob
                 # (runtime.warmup.reroll, ARCHITECTURE.md rule 13)
+                ms = 400_000 + tune_nonce
+                if 0 < slab < r and r % slab == 0:
+                    g = r // slab
+
+                    def gbody(args):
+                        go, gd, ga, gt = args
+                        h, st = trace_packets(
+                            wa, go, gd, packet=packet, active=ga,
+                            t_max=gt, occlusion=occl, max_steps=ms)
+                        return (h.dist, h.bx, h.by, h.tri, h.inst, st)
+
+                    outs = jax.lax.map(
+                        gbody, (o3.reshape(g, slab, 3),
+                                d3.reshape(g, slab, 3),
+                                act.reshape(g, slab),
+                                tc.reshape(g, slab)))
+                    return (outs[0].reshape(r), outs[1].reshape(r),
+                            outs[2].reshape(r), outs[3].reshape(r),
+                            outs[4].reshape(r), outs[5].sum())
                 h, st = trace_packets(wa, o3, d3, packet=packet,
                                       active=act, t_max=tc, occlusion=occl,
-                                      max_steps=400_000 + tune_nonce)
+                                      max_steps=ms)
                 return h.dist, h.bx, h.by, h.tri, h.inst, st
             return _trace_pool(
                 wa, sa, ctx, table, (tox, toy, toz, tdx, tdy, tdz), act,
@@ -423,6 +389,114 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         dz = jnp.where(spawn, co.sdz, dz)
         alive = spawn
         bounce_ct = jnp.where(spawn, bounce_ct + 1, bounce_ct)
+
+    return rad_r, rad_g, rad_b, rays_traced, steps_total
+
+
+def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
+               light: LightArrays, width: int, height: int,
+               n_pix: int, pix_offset: int,
+               max_depth: int = 2, spp: int = 1, chunk: int = 4096,
+               table: ShaderTable = None, seed: int = 0,
+               packet: int = 128, pix_perm=None, shadow: bool = False,
+               tile_w: int = 16, tile_h: int = 16,
+               total_spp: Optional[int] = None, tune_nonce: int = 0,
+               bilinear: bool = False, slab: int = 32768):
+    """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
+    must be a whole number of rows for the tiled layout).  Returns
+    ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
+    render_wavefront (whole frame) and parallel.tiles (row block per
+    device).
+
+    Measured design (v5e, docs/ARCHITECTURE.md): the packet engine's
+    while_loop costs ~13 us/iteration at 2048 packets and ONE loop over
+    the whole pool needs ~1/17th the iterations of 64 lax.map groups, so
+    every trace is a single trace_packets call; pool-scale argsorts and
+    gathers cost 8-25 ms EACH, so the frame has none — pixel ids are
+    integer arithmetic on the lane index, rays never move between lanes
+    (no per-bounce compaction), and the spp/tile resolve is a pure
+    reshape+transpose.
+
+    ``packet`` > 0 traces with the packet engine (ops.traverse_packet)
+    when no any-hit shader is bound; 0 forces the per-ray engine (which
+    still chunks by ``chunk`` over a lax.map — the any-hit suspension
+    protocol needs per-ray state)."""
+    if table is None:
+        table = ShaderTable()
+    seed_u = jnp.asarray(seed).astype(jnp.uint32)
+    ctx = ShaderContext(
+        shade=sa, light_pos=light.light_pos, light_color=light.light_color,
+        ambient=light.ambient, background=light.background,
+        max_depth=max_depth, seed=seed_u)
+    # total_spp: the stratification denominator — accumulation passes
+    # (render_accum) spread `spp` lanes per pass over spp*n_passes strata
+    total_spp = spp if total_spp is None else total_spp
+
+    n_real = n_pix * spp
+    rows = n_pix // width
+    # pix_offset may be traced (multi-chip: dev * n_pix_local); row
+    # alignment is then an API precondition (n_pix_local is a whole
+    # number of rows, so every device offset is too)
+    off_aligned = (pix_offset % width == 0
+                   if isinstance(pix_offset, int) else True)
+    tiled = (width % tile_w == 0 and n_pix % width == 0
+             and rows % tile_h == 0 and off_aligned)
+    # pool padding: packet mode pads to the trace slab (so the pool maps
+    # into equal VMEM-resident groups; <= slab-1 dead padding lanes, and
+    # all-dead packets exit immediately); the per-ray path chunks by
+    # `chunk`
+    if packet > 0 and table.anyhit is None:
+        quantum = slab if (0 < slab < n_pix * spp) else packet
+    else:
+        quantum = chunk
+    r = ((n_real + quantum - 1) // quantum) * quantum
+    # global sample index per lane: pass `seed` contributes spp samples
+    samp = (seed_u * jnp.uint32(spp)
+            + (jnp.arange(n_real, dtype=jnp.int32) % spp).astype(jnp.uint32))
+    if tiled:
+        ox, oy, oz, dx, dy, dz, pix = _camera_lanes_tiled(
+            cam, width, height, spp, samp, total_spp, tile_w, tile_h,
+            n_pix, pix_offset // width)
+    else:
+        ox, oy, oz, dx, dy, dz, pix = _camera_lanes(
+            cam, width, height, spp, samp, total_spp, n_pix=n_pix,
+            pix_offset=pix_offset, pix_perm=pix_perm)
+
+    def pad(a, fill=0):
+        return jnp.concatenate(
+            [a, jnp.full(r - n_real, fill, a.dtype)]) if r > n_real else a
+
+    ox, oy, oz = pad(ox), pad(oy), pad(oz)
+    dx, dy, dz = pad(dx), pad(dy, 1.0), pad(dz)
+    pix = pad(pix, -1)  # padding lanes get an out-of-range pixel id
+    samp = pad(samp)
+    alive = jnp.arange(r, dtype=jnp.int32) < n_real
+    args = (ox, oy, oz, dx, dy, dz)
+    slab_major = (packet > 0 and table.anyhit is None
+                  and 0 < slab < r and r % slab == 0)
+    if slab_major:
+        g = r // slab
+
+        def sbody(a):
+            lanes6 = a[:6]
+            rr, rg, rb, rays, steps = _wave_pipeline(
+                wa, sa, ctx, table, light, lanes6, a[6], a[7], a[8],
+                max_depth, shadow, bilinear, packet, chunk, tune_nonce,
+                0)
+            return rr, rg, rb, rays, steps
+
+        outs = jax.lax.map(
+            sbody, tuple(a.reshape(g, slab)
+                         for a in args + (pix, samp, alive)))
+        rad_r = outs[0].reshape(r)
+        rad_g = outs[1].reshape(r)
+        rad_b = outs[2].reshape(r)
+        rays_traced = outs[3].sum()
+        steps_total = outs[4].sum()
+    else:
+        rad_r, rad_g, rad_b, rays_traced, steps_total = _wave_pipeline(
+            wa, sa, ctx, table, light, args, pix, samp, alive,
+            max_depth, shadow, bilinear, packet, chunk, tune_nonce, slab)
 
     # ---- resolve: rays never moved lanes, so pool order IS (pixel, spp)
     # order; tile-major lanes resolve with a reshape+transpose.  Channels
@@ -486,9 +560,10 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  tile_w: int = 16, tile_h: int = 16,
                  tune_nonce: int = 0):
     """Render ``n_frames`` frames (seeds seed0..seed0+n-1) inside ONE XLA
-    program, reduced to scalars; returns (checksum, total rays, total
-    steps).  No image output — callers that want the last frame render it
-    with render_wavefront as a separate program (see
+    program, reduced to ONE i32: the exact total ray count (plus an
+    always-zero anti-DCE guard derived from the radiance checksum).  No
+    image output — callers that want a frame render it with
+    render_wavefront as a separate program (see
     WavefrontRenderer.render_burst).
 
     This is the sustained-throughput entry point: on the axon remote
@@ -499,17 +574,16 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     the natural animation API (per-frame seeds advance the sampler).
 
     Structure (measured, docs/ARCHITECTURE.md rules 12-13): the fast
-    compile basin on the axon backend has only been observed for
-    map-wrapped frame bodies whose per-iteration outputs are SCALARS and
-    whose scene arrays enter as jit parameters.  The per-frame image is
-    reduced to a checksum, which keeps shading, shadow traces and
-    radiance live (the ray/step counters alone would let XLA dead-code
-    the lighting).  Which basin a given program lands in is a
-    deterministic function of the exact HLO, but is effectively a
-    lottery across innocuous program changes — ``tune_nonce`` perturbs
-    the program hash (via the traversal step budget) so
-    runtime.warmup.reroll can redraw until a fast artifact lands in the
-    persistent compile cache."""
+    compile basin on the axon backend requires (a) a map-wrapped frame
+    body with scalar per-iteration outputs, (b) scene arrays as jit
+    parameters, and (c) **exactly ONE program output** — the identical
+    program returning (cks, rays, steps) instead of one i32 measures
+    4.6x slower (34.4 vs 7.5 ms/frame), whether as map outputs or scan
+    carries.  The radiance checksum keeps shading and shadow traces live
+    (the ray counter alone would let XLA dead-code the lighting) and
+    folds into the ray count as an always-zero i32 guard.  Residual
+    basin variance across program changes is redrawn via ``tune_nonce``
+    (perturbs the traversal step budget) by runtime.warmup.reroll."""
 
     def body(seed):
         img, rays, steps = frame_body(
@@ -521,7 +595,8 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 
     seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
     c, r, s = jax.lax.map(body, seeds)
-    return c.sum(), r.sum(), s.sum()
+    guard = (c.sum() * jnp.float32(1e-30)).astype(jnp.int32)  # always 0
+    return r.sum() + guard
 
 
 @partial(jax.jit,
@@ -779,7 +854,7 @@ class WavefrontRenderer:
         w = width or self.config.width
         h = height or self.config.height
         ca, light = self._dev_args(cam, params)
-        _, nrays, _ = render_burst(
+        nrays = render_burst(
             self.wa, self.sa, ca, light, w, h, n_frames=n_frames,
             seed0=seed0, max_depth=params.max_depth, spp=params.spp,
             chunk=self.config.lanes, table=self._table_for(params),
