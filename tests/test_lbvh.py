@@ -28,17 +28,20 @@ def test_morton_ordering():
     assert mx > my > mz
 
 
-def _lbvh_structure_ok(nodes, leaf_size, t):
-    """Host-side structural validation of the packed 4-wide pool."""
+def _lbvh_structure_ok(nodes, tri_rows, leaf_size, t):
+    """Host-side structural validation of the packed 4-wide pool.
+
+    v2 (subtree-cut) semantics: leaves hold 1..leaf_size triangles (a
+    maximal Karras subtree's contiguous Morton range); every GLOBAL
+    triangle id must be referenced exactly once across all leaves."""
     nodes = np.asarray(nodes)
+    rows = np.asarray(tri_rows)
     meta = nodes[:, 14]
     kind = meta >> 29
     nch = (meta >> 26) & 7
     left = (meta & ((1 << 26) - 1)).astype(np.int64)
     assert kind[0] == KIND_INSTANCE
-    # walk from the BLAS root: every leaf row referenced exactly once
-    n_leaves = t // leaf_size
-    covered = np.zeros(n_leaves, np.int32)
+    covered = np.zeros(t, np.int32)
     stack = [1]
     seen = set()
     max_w = 0
@@ -47,8 +50,13 @@ def _lbvh_structure_ok(nodes, leaf_size, t):
         assert x not in seen, "cycle in LBVH"
         seen.add(x)
         if kind[x] == KIND_TRIS:
-            assert int(nodes[x, 15]) == leaf_size
-            covered[left[x]] += 1
+            cnt = int(nodes[x, 15])
+            assert 1 <= cnt <= leaf_size
+            row = rows[int(left[x])]
+            for c in range(cnt):
+                tid = row[16 * c + 9 : 16 * c + 10].view(np.int32)[0]
+                assert 0 <= tid < t
+                covered[tid] += 1
         else:
             assert kind[x] == KIND_INTERNAL
             assert 2 <= nch[x] <= 4
@@ -57,7 +65,7 @@ def _lbvh_structure_ok(nodes, leaf_size, t):
     assert (covered == 1).all()
     # the collapse really produces wide nodes (not a renamed binary tree)
     assert max_w >= 3
-    # unreferenced pool slots (skipped odd-depth internals) must be zero
+    # unreferenced pool slots (skipped/below-cut internals) must be zero
     for x in range(1, nodes.shape[0]):
         if x not in seen:
             assert (nodes[x] == 0).all()
@@ -67,7 +75,7 @@ def test_lbvh_structure(rng):
     m = random_soup(rng, 128)
     lb = build_lbvh(jnp.asarray(m.v0), jnp.asarray(m.v1), jnp.asarray(m.v2),
                     leaf_size=4)
-    _lbvh_structure_ok(lb.nodes, 4, 128)
+    _lbvh_structure_ok(lb.nodes, lb.tri_rows, 4, 128)
 
 
 def test_lbvh_boxes_contain_children(rng):
@@ -89,7 +97,8 @@ def test_lbvh_boxes_contain_children(rng):
             e2 = rows[j, base + 6 : base + 9]
             if np.any(e1 != 0) or np.any(e2 != 0) or tid >= 0:
                 pts += [v0, v0 + e1, v0 + e2]
-        leaf_pts.append(np.stack(pts))
+        # v2 pools size rows to T; unused rows stay empty
+        leaf_pts.append(np.stack(pts) if pts else np.zeros((0, 3)))
     meta = nodes[:, 14]
     kind = meta >> 29
     left = (meta & ((1 << 26) - 1)).astype(np.int64)
@@ -171,7 +180,7 @@ def test_lbvh_refit_fast_path(rng):
         off = np.array([0, 0, shift], np.float32)
         lb = refit_lbvh(topo, jnp.asarray(v0 + off), jnp.asarray(v1 + off),
                         jnp.asarray(v2 + off), leaf_size=4)
-        _lbvh_structure_ok(lb.nodes, 4, v0.shape[0])
+        _lbvh_structure_ok(lb.nodes, lb.tri_rows, 4, v0.shape[0])
         wa = wide_arrays_from_lbvh(lb)
         hits, _, _ = trace_rays_wide(wa, jnp.asarray(o), jnp.asarray(d))
         t = float(np.asarray(hits.dist)[0])

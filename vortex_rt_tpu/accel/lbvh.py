@@ -7,22 +7,29 @@ scenes rebuild per frame without host round-trips — BASELINE.json configs
 3 and 5 and the north-star requirement.
 
 Pipeline (all jax.numpy, one jit):
-1. triangle clusters of ``leaf_size`` in Morton order (30-bit codes over
-   the scene AABB; bit interleave via magic-number expansion)
+1. 30-bit Morton codes of TRIANGLE centroids over the scene AABB (bit
+   interleave via magic-number expansion)
 2. stable sort by Morton code (ties break by index, matching the
    augmented-key convention Karras requires)
-3. Karras 2012 binary radix tree: per-internal-node range + split found
-   with fixed-step doubling/binary searches, fully vectorized over
-   nodes — no sequential build
-4. bottom-up AABB refit as a fixed-point sweep (children-ready masking)
-5. **collapse to the reference's 4-wide node shape** (rt_traversal.h
-   BVH_WIDTH=4): internal nodes at even depth survive and adopt their
-   grandchildren (arity 2-4), odd-depth internals vanish, leaves attach
-   to their nearest surviving ancestor.  Halves traversal depth and
-   fills the quantized child slots the engine tests per step — the
-   static builder's qbvh.collapse_flat, re-derived as vectorized
-   device arithmetic (prefix-sum slot allocation, no recursion)
-6. quantize + pack directly into the traversal engine's 64-byte node
+3. Karras 2012 binary radix tree over ALL triangles: per-internal-node
+   range + split found with fixed-step doubling/binary searches, fully
+   vectorized over nodes — no sequential build
+4. **subtree-cut leaves**: every maximal Karras subtree covering
+   <= ``leaf_size`` triangles becomes one wide leaf (its triangle range
+   is contiguous in Morton order, so a leaf is a gather of adjacent
+   sorted slots).  This replaces v1's fixed Morton-order 4-chunks, which
+   crossed cluster boundaries and cost 6.5x the SAH builder's leaf-box
+   area (measured on a 100k wavy grid; the quality gate in
+   tests/test_lbvh_quality.py)
+5. bottom-up AABB refit as a fixed-point sweep (children-ready masking)
+6. **collapse to the reference's 4-wide node shape** (rt_traversal.h
+   BVH_WIDTH=4): above-cut internal nodes at even depth survive and
+   adopt their grandchildren (arity 2-4), odd-depth internals vanish,
+   cut subtrees attach as leaves.  Halves traversal depth and fills the
+   quantized child slots the engine tests per step — the static
+   builder's qbvh.collapse_flat, re-derived as vectorized device
+   arithmetic (prefix-sum slot allocation, no recursion)
+7. quantize + pack directly into the traversal engine's 64-byte node
    records (ops.traverse_wide layout) — the tree goes from vertex
    buffers to traversal-ready without leaving the device
 
@@ -79,16 +86,21 @@ class LBVHTopo(NamedTuple):
     """Fixed topology for the refit fast path (config 5 animation).
 
     All arrays are device-resident; shapes depend only on the triangle
-    count, so ``refit_lbvh`` re-jits only when the mesh size changes."""
+    count T, so ``refit_lbvh`` re-jits only when the mesh size changes.
+    Node-id convention: Karras internals 0..T-2, triangle leaves
+    (T-1)+j."""
 
     order: jnp.ndarray      # (T,) Morton triangle permutation
-    lchild: jnp.ndarray     # (L-1,) Karras left child (old ids)
-    rchild: jnp.ndarray     # (L-1,)
-    surv: jnp.ndarray       # (L-1,) bool: survives the 4-wide collapse
-    ch_old: jnp.ndarray     # (L-1, 4) old ids of wide children (-1 = none)
-    arity: jnp.ndarray      # (L-1,)
-    base: jnp.ndarray       # (L-1,) new id of first wide child (survivors)
-    newid: jnp.ndarray      # (2L-1,) new id of surviving nodes
+    lchild: jnp.ndarray     # (T-1,) Karras left child (old ids)
+    rchild: jnp.ndarray     # (T-1,)
+    surv: jnp.ndarray       # (T-1,) bool: survives the 4-wide collapse
+    ch_old: jnp.ndarray     # (T-1, 4) old ids of wide children (-1 = none)
+    arity: jnp.ndarray      # (T-1,)
+    base: jnp.ndarray       # (T-1,) new id of first wide child (survivors)
+    newid: jnp.ndarray      # (2T-1,) new id of surviving/cut nodes
+    row_lo: jnp.ndarray     # (T,) first sorted-tri slot of leaf row j
+    row_cnt: jnp.ndarray    # (T,) tri count of leaf row j (0 = unused)
+    leaf_newid: jnp.ndarray  # (T,) wide-pool id of leaf row j (-1 unused)
 
 
 def _clz32(x):
@@ -144,7 +156,7 @@ def _karras(lcodes, l):
     right_is_leaf = hi == gamma + 1
     lchild = jnp.where(left_is_leaf, (l - 1) + gamma, gamma)
     rchild = jnp.where(right_is_leaf, (l - 1) + gamma + 1, gamma + 1)
-    return lchild, rchild
+    return lchild, rchild, lo, hi
 
 
 def _refit_sweep(lchild, rchild, lmin, lmax, l):
@@ -155,7 +167,7 @@ def _refit_sweep(lchild, rchild, lmin, lmax, l):
 
     def cond(carry):
         _, _, ready, it = carry
-        return jnp.logical_and(~ready.all(), it < 64)
+        return jnp.logical_and(~ready.all(), it < 192)
 
     def body(carry):
         bmin, bmax, ready, it = carry
@@ -174,24 +186,28 @@ def _refit_sweep(lchild, rchild, lmin, lmax, l):
     return bmin, bmax
 
 
-def _collapse4(lchild, rchild, l):
-    """Even-depth collapse of the binary Karras tree to width <= 4.
+def _collapse4(lchild, rchild, lo, hi, l, max_leaf):
+    """Subtree-cut + even-depth collapse of the binary Karras tree.
 
-    Returns (surv, ch_old, arity, base, newid):
-    * surv (l-1,): internal node survives (depth even)
-    * ch_old (l-1, 4): old ids of the survivor's wide children (-1 pad),
-      ordered [left-subtree..., right-subtree...]
-    * arity (l-1,)
-    * base (l-1,): new id of the survivor's first child (left_first)
-    * newid (2l-1,): new id per surviving old node (root -> 0; leaves and
-      surviving internals get child-slot ids; skipped internals -> -1)
-    """
+    An internal node whose range covers <= ``max_leaf`` triangles is
+    "leafish"; MAXIMAL leafish nodes (leafish with a non-leafish parent)
+    become wide leaves — their triangle ranges are contiguous in Morton
+    order, so every leaf is a cluster the radix tree itself chose
+    (near-SAH leaf quality) instead of a fixed Morton 4-chunk.  Above
+    the cut, even-depth internals survive and adopt their grandchildren.
+
+    Returns (surv, ch_old, arity, base, newid, row_lo, row_cnt,
+    leaf_newid) — see LBVHTopo."""
     n_nodes = 2 * l - 1
     i_idx = jnp.arange(l - 1, dtype=jnp.int32)
     parent = jnp.zeros(n_nodes, jnp.int32).at[lchild].set(i_idx)
     parent = parent.at[rchild].set(i_idx)
 
-    # top-down depth sweep over internal nodes (Karras depth <= 58)
+    size_int = hi - lo + 1
+    leafish = size_int <= max_leaf          # (l-1,) internals only
+
+    # top-down depth sweep over internal nodes (above-cut nodes form a
+    # connected top component, so their depths are exact)
     depth = jnp.zeros(l - 1, jnp.int32)
     ready = (i_idx == 0)
 
@@ -203,13 +219,17 @@ def _collapse4(lchild, rchild, l):
         return depth, it + 1, ready | can
 
     depth, _, _ = jax.lax.while_loop(
-        lambda c: jnp.logical_and(~c[2].all(), c[1] < 64), body,
+        lambda c: jnp.logical_and(~c[2].all(), c[1] < 192), body,
         (depth, jnp.int32(0), ready))
 
-    surv = (depth % 2) == 0
+    surv = ~leafish & ((depth % 2) == 0)
 
-    is_leaf_l = lchild >= (l - 1)
-    is_leaf_r = rchild >= (l - 1)
+    def is_lf(c):
+        """Old id -> becomes a wide leaf (triangle leaf or cut subtree)."""
+        return (c >= l - 1) | leafish[jnp.clip(c, 0, l - 2)]
+
+    is_leaf_l = is_lf(lchild)
+    is_leaf_r = is_lf(rchild)
     lc_s = jnp.clip(lchild, 0, l - 2)   # safe internal index
     rc_s = jnp.clip(rchild, 0, l - 2)
     a_left = jnp.where(is_leaf_l, 1, 2)
@@ -243,7 +263,25 @@ def _collapse4(lchild, rchild, l):
         ok = surv & (idx >= 0)
         newid = newid.at[jnp.where(ok, idx, n_nodes)].set(
             jnp.where(ok, val, 0), mode="drop")
-    return surv, ch_old, arity, base, newid
+
+    # ---- leaf rows: one row per MAXIMAL leafish node, numbered by a
+    # prefix sum in node-id order ----
+    par_int = jnp.clip(parent[: l - 1], 0, l - 2)
+    max_int = leafish & ~leafish[par_int]
+    par_tri = jnp.clip(parent[l - 1:], 0, l - 2)
+    max_tri = ~leafish[par_tri]            # tri leaf directly under cut
+    is_max = jnp.concatenate([max_int, max_tri])          # (2l-1,)
+    row_of = jnp.cumsum(is_max.astype(jnp.int32)) - 1     # id per maximal
+    node_lo = jnp.concatenate([lo, jnp.arange(l, dtype=lo.dtype)])
+    node_cnt = jnp.concatenate([size_int,
+                                jnp.ones(l, size_int.dtype)])
+    tgt = jnp.where(is_max, row_of, l)
+    row_lo = jnp.zeros(l, jnp.int32).at[tgt].set(
+        node_lo.astype(jnp.int32), mode="drop")
+    row_cnt = jnp.zeros(l, jnp.int32).at[tgt].set(
+        node_cnt.astype(jnp.int32), mode="drop")
+    leaf_newid = jnp.full(l, -1, jnp.int32).at[tgt].set(newid, mode="drop")
+    return surv, ch_old, arity, base, newid, row_lo, row_cnt, leaf_newid
 
 
 def _f32bits(x):
@@ -270,7 +308,14 @@ def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size):
 
     def qpack(b, lo_side):
         q = (b - org[:, None, :]) / scale[:, None, :]
-        q = jnp.floor(q) if lo_side else jnp.ceil(q)
+        # expand every box one quantization LSB outward: a ray with a
+        # zero direction component lying EXACTLY on a child boundary
+        # otherwise computes slab tmax = 0 through the eps-reciprocal
+        # and culls the child (v2's subtree splits land exactly on
+        # octant planes, so axis rays hit this; measured total-miss on
+        # the uv_sphere axis test).  Conservative bounding never changes
+        # the closest hit — only ~1.6% more box area
+        q = jnp.floor(q) - 1 if lo_side else jnp.ceil(q) + 1
         q = jnp.clip(q, 0, 255).astype(jnp.uint32)
         return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
 
@@ -299,34 +344,44 @@ def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size):
     rec = rec.at[jnp.where(surv, sid, n_nodes)].set(
         jnp.where(surv[:, None], srec, 0), mode="drop")
 
-    # leaf records at their new ids
+    # leaf records (one per cut-subtree row) at their new ids
     leaf_first = jnp.arange(l, dtype=jnp.uint32)
     lrec = jnp.zeros((l, 32), jnp.uint32)
     lrec = lrec.at[:, 14].set(
         leaf_first | (jnp.uint32(1) << _LEFT_BITS)
         | (jnp.uint32(KIND_TRIS) << 29))
-    lrec = lrec.at[:, 15].set(jnp.uint32(leaf_size))
-    lid = topo.newid[l - 1:]
-    rec = rec.at[lid].set(lrec)
+    lrec = lrec.at[:, 15].set(topo.row_cnt.astype(jnp.uint32))
+    lid = topo.leaf_newid
+    used = lid >= 0
+    rec = rec.at[jnp.where(used, lid, n_nodes)].set(
+        jnp.where(used[:, None], lrec, 0), mode="drop")
     return rec
 
 
-def _leaf_rows(v0, v1, v2, order, l, leaf_size):
+def _leaf_rows(v0, v1, v2, order, row_lo, row_cnt, l):
+    """(l, 64) packed leaf rows: row j holds the ``row_cnt[j]`` triangles
+    at sorted slots row_lo[j].. (contiguous Morton range of one cut
+    subtree); empty slots are zero-area degenerates (never hit)."""
     t = v0.shape[0]
-    sv0 = v0[order]
-    se1 = v1[order] - sv0
-    se2 = v2[order] - sv0
-    tids = jax.lax.bitcast_convert_type(order, jnp.float32)
-    slot16 = jnp.zeros((t, 16), jnp.float32)
-    slot16 = slot16.at[:, 0:3].set(sv0)
-    slot16 = slot16.at[:, 3:6].set(se1)
-    slot16 = slot16.at[:, 6:9].set(se2)
-    slot16 = slot16.at[:, 9].set(tids)
-    rows = slot16.reshape(l, leaf_size * 16)
-    if leaf_size < 4:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((l, (4 - leaf_size) * 16), jnp.float32)],
-            axis=1)
+    k = jnp.arange(4, dtype=jnp.int32)
+    idx = jnp.clip(row_lo[:, None] + k[None, :], 0, t - 1)
+    tid = order[idx]                            # (l, 4) global tri ids
+    valid = k[None, :] < row_cnt[:, None]
+    sv0 = v0[tid]
+    se1 = v1[tid] - sv0
+    se2 = v2[tid] - sv0
+    zero = ~valid[..., None]
+    sv0 = jnp.where(zero, 0.0, sv0)
+    se1 = jnp.where(zero, 0.0, se1)
+    se2 = jnp.where(zero, 0.0, se2)
+    tids = jax.lax.bitcast_convert_type(
+        jnp.where(valid, tid, -1), jnp.float32)
+    rows = jnp.zeros((l, 64), jnp.float32)
+    for c in range(4):
+        rows = rows.at[:, 16 * c: 16 * c + 3].set(sv0[:, c])
+        rows = rows.at[:, 16 * c + 3: 16 * c + 6].set(se1[:, c])
+        rows = rows.at[:, 16 * c + 6: 16 * c + 9].set(se2[:, c])
+        rows = rows.at[:, 16 * c + 9].set(tids[:, c])
     return rows
 
 
@@ -342,22 +397,22 @@ def _tlas_root():
     return tlas
 
 
-def _leaf_boxes(v0, v1, v2, order, l, leaf_size):
+def _leaf_boxes(v0, v1, v2, order):
+    """Per-TRIANGLE boxes in sorted order (the Karras leaves)."""
     tmin = jnp.minimum(jnp.minimum(v0, v1), v2)[order]
     tmax = jnp.maximum(jnp.maximum(v0, v1), v2)[order]
-    return (tmin.reshape(l, leaf_size, 3).min(1),
-            tmax.reshape(l, leaf_size, 3).max(1))
+    return tmin, tmax
 
 
 @partial(jax.jit, static_argnames=("leaf_size",))
 def build_lbvh_topo(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
                     leaf_size: int = 4):
-    """Device BVH build -> (LBVHNodes, LBVHTopo).  T must be a multiple of
-    ``leaf_size`` (see ``pad_tris``)."""
+    """Device BVH build -> (LBVHNodes, LBVHTopo).  ``leaf_size`` is the
+    MAXIMUM triangles per wide leaf (subtree-cut leaves are 1..leaf_size
+    contiguous Morton slots)."""
     t = v0.shape[0]
-    assert t % leaf_size == 0, "pad triangle count to a leaf_size multiple"
-    l = t // leaf_size
-    assert l >= 2, "need at least two leaves"
+    l = t  # triangle-granular Karras leaves
+    assert l > leaf_size, "scene smaller than one leaf"
 
     tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
     tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
@@ -368,12 +423,14 @@ def build_lbvh_topo(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     n = (cen - smin) / ext
     codes = morton3d(n[:, 0], n[:, 1], n[:, 2])
     order = jnp.argsort(codes, stable=True).astype(jnp.int32)
-    lcodes = codes[order][::leaf_size]
+    lcodes = codes[order]
 
-    lchild, rchild = _karras(lcodes, l)
-    surv, ch_old, arity, base, newid = _collapse4(lchild, rchild, l)
+    lchild, rchild, lo, hi = _karras(lcodes, l)
+    (surv, ch_old, arity, base, newid, row_lo, row_cnt,
+     leaf_newid) = _collapse4(lchild, rchild, lo, hi, l, leaf_size)
     topo = LBVHTopo(order=order, lchild=lchild, rchild=rchild, surv=surv,
-                    ch_old=ch_old, arity=arity, base=base, newid=newid)
+                    ch_old=ch_old, arity=arity, base=base, newid=newid,
+                    row_lo=row_lo, row_cnt=row_cnt, leaf_newid=leaf_newid)
     return refit_lbvh(topo, v0, v1, v2, leaf_size=leaf_size), topo
 
 
@@ -384,13 +441,14 @@ def refit_lbvh(topo: LBVHTopo, v0, v1, v2, leaf_size: int = 4) -> LBVHNodes:
     animation update (BASELINE config 5; the reference has no analog,
     its BVH is rebuilt on the host)."""
     t = v0.shape[0]
-    l = t // leaf_size
-    lmin, lmax = _leaf_boxes(v0, v1, v2, topo.order, l, leaf_size)
+    l = t  # triangle-granular leaves
+    lmin, lmax = _leaf_boxes(v0, v1, v2, topo.order)
     bmin, bmax = _refit_sweep(topo.lchild, topo.rchild, lmin, lmax, l)
     blas = _pack_wide(topo, bmin, bmax, l, leaf_size)
     nodes = jnp.concatenate([_tlas_root(), blas])
-    rows = _leaf_rows(v0, v1, v2, topo.order, l, leaf_size)
-    return LBVHNodes(nodes=nodes, tri_rows=rows, num_leaves=jnp.int32(l))
+    rows = _leaf_rows(v0, v1, v2, topo.order, topo.row_lo, topo.row_cnt, l)
+    return LBVHNodes(nodes=nodes, tri_rows=rows,
+                     num_leaves=(topo.row_cnt > 0).sum())
 
 
 @partial(jax.jit, static_argnames=("leaf_size",))
@@ -416,6 +474,57 @@ def wide_arrays_from_lbvh(lb: LBVHNodes, leaf_size: int = 4):
         # collapse halves it, so 32 covers every buildable tree
         depth=32,
     )
+
+
+def tree_surface_area(nodes) -> float:
+    """Total dequantized child-AABB surface area of a packed node pool —
+    the SAH-cost proxy used for refit staleness: a refit tree's boxes
+    stay tight per node but the TOPOLOGY decays as geometry drifts from
+    the Morton clustering it was built for, which shows up as growing
+    overlap = growing summed area (host-side diagnostic)."""
+    n = np.asarray(nodes)
+    origin = n[:, 0:3].view(np.float32)
+    scale = n[:, 3:6].view(np.float32)
+    meta = n[:, 14]
+    nch = (meta >> _LEFT_BITS) & 7
+    total = 0.0
+    for c in range(4):
+        ql = n[:, 6 + c]
+        qh = n[:, 10 + c]
+        lo = np.stack([(ql >> s) & 255 for s in (0, 8, 16)], -1)
+        hi = np.stack([(qh >> s) & 255 for s in (0, 8, 16)], -1)
+        ext = np.maximum((hi - lo) * scale, 0.0)
+        area = 2.0 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                      + ext[:, 0] * ext[:, 2])
+        total += float(area[np.asarray(nch) > c].sum())
+    _ = origin
+    return total
+
+
+def refit_staleness(topo: LBVHTopo, v0, v1, v2,
+                    leaf_size: int = 4) -> float:
+    """Refit-quality ratio >= 1.0: summed node area of the REFIT tree on
+    the current geometry vs a FRESH rebuild.  ~1.0 while the motion
+    preserves Morton clustering; callers should rebuild the topology
+    when it exceeds ~1.5 (the config-5 rebuild threshold)."""
+    refit = refit_lbvh(topo, v0, v1, v2, leaf_size=leaf_size)
+    fresh = build_lbvh(v0, v1, v2, leaf_size=leaf_size)
+    a_fresh = tree_surface_area(fresh.nodes)
+    return tree_surface_area(refit.nodes) / max(a_fresh, 1e-30)
+
+
+def build_wide_from_tris(sb, leaf_size: int = 4):
+    """Scene -> traversal-ready WideArrays via the ON-DEVICE LBVH build
+    (BASELINE config 3: "on-device LBVH build").  Valid for single-
+    identity-instance scenes (the LBVH path builds in triangle space);
+    multi-instance scenes use the host SAH + collapse builder."""
+    assert sb.inst_transform.shape[0] == 1 and np.allclose(
+        sb.inst_transform[0], np.eye(4)), \
+        "LBVH direct build needs a single identity instance"
+    v0, v1, v2 = pad_tris(sb.v0, sb.v1, sb.v2, leaf_size)
+    lb = build_lbvh(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                    leaf_size=leaf_size)
+    return wide_arrays_from_lbvh(lb, leaf_size)
 
 
 def pad_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,

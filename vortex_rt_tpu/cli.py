@@ -77,10 +77,34 @@ def main(argv=None) -> int:
                     help="write a Chrome/Perfetto trace JSON of the render")
     ap.add_argument("--shadow", action="store_true",
                     help="occlusion-tested direct lighting (shadow rays)")
+    ap.add_argument("--pathtrace", action="store_true",
+                    help="path-traced integrator (BASELINE configs 3-4) "
+                         "instead of the Whitted closest shader")
+    ap.add_argument("--bilinear", action="store_true",
+                    help="bilinear texture filtering (texSampleBi)")
+    ap.add_argument("--burst", type=int, default=0, metavar="N",
+                    help="render N frames in one dispatch and report "
+                         "sustained Mrays/s (the animation/throughput API)")
+    ap.add_argument("--accum", type=int, default=0, metavar="N",
+                    help="average N progressive passes (high-spp renders "
+                         "without multiplying pool memory)")
+    ap.add_argument("--ladder", default=None, metavar="CONFIGS",
+                    help="run the BASELINE config ladder (e.g. '1,2,3') "
+                         "and exit — see tools/bench_ladder.py")
     ap.add_argument("--compare", action="store_true",
                     help="also render on the CPU golden oracle and report "
                          "the pixel RMSE (the reference's -c cross-check)")
     args = ap.parse_args(argv)
+    if args.ladder is not None:
+        # one-line launch for the BASELINE configs (main.cpp's app IS its
+        # CLI; ladder configs are the flagship feature matrix)
+        import pathlib
+        import subprocess
+
+        root = pathlib.Path(__file__).resolve().parents[1]
+        return subprocess.call(
+            [sys.executable, str(root / "tools" / "bench_ladder.py"),
+             "--configs", args.ladder])
     for name in ("width", "height", "spp", "depth"):
         if getattr(args, name) < 1:
             ap.error(f"--{name} must be >= 1")
@@ -102,13 +126,20 @@ def main(argv=None) -> int:
     aspect = args.width / args.height
     cam = Scene.framing_camera(sb, args.vfov, aspect, zoom=1.0)
     params = RenderParams(spp=args.spp, max_depth=args.depth,
-                          shadow=args.shadow)
+                          shadow=args.shadow, pathtrace=args.pathtrace)
 
     t0 = time.perf_counter()
     if args.cpu:
-        from vortex_rt_tpu.golden.renderer import render_golden
+        if args.pathtrace:
+            from vortex_rt_tpu.golden.renderer import render_golden_pt
 
-        img = render_golden(sb, cam, params, args.width, args.height)
+            img = render_golden_pt(sb, cam, params, args.width,
+                                   args.height).reshape(
+                args.height, args.width, 3)
+        else:
+            from vortex_rt_tpu.golden.renderer import render_golden
+
+            img = render_golden(sb, cam, params, args.width, args.height)
         nrays = args.width * args.height * args.depth
     else:
         if args.engine == "megakernel":
@@ -117,9 +148,19 @@ def main(argv=None) -> int:
             r = MegakernelRenderer.from_buffers(sb)
         else:
             from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+            from vortex_rt_tpu.utils.config import RTConfig
 
-            r = WavefrontRenderer.from_buffers(sb)
-        img, nrays = r.render(cam, params, args.width, args.height)
+            cfg = RTConfig(
+                tex_filter="bilinear" if args.bilinear else "point")
+            r = WavefrontRenderer.from_buffers(sb, cfg)
+        if args.burst > 0 and args.engine == "wavefront":
+            img, nrays = r.render_burst(cam, params, args.width,
+                                        args.height, n_frames=args.burst)
+        elif args.accum > 0 and args.engine == "wavefront":
+            img, nrays = r.render_accum(cam, params, args.width,
+                                        args.height, n_passes=args.accum)
+        else:
+            img, nrays = r.render(cam, params, args.width, args.height)
     dt = time.perf_counter() - t0
 
     write_ppm(args.output, np.clip(img, 0, 1))
@@ -128,10 +169,28 @@ def main(argv=None) -> int:
           f"model={args.model} engine={'cpu' if args.cpu else args.engine}: "
           f"{dt*1e3:.1f} ms, {nrays} rays, {mrays:.2f} Mrays/s -> {args.output}")
     if args.compare and not args.cpu:
-        from vortex_rt_tpu.golden.renderer import render_golden
+        from vortex_rt_tpu.golden.renderer import (
+            render_golden, render_golden_pt,
+        )
         from vortex_rt_tpu.utils.image import rmse
 
-        gold = render_golden(sb, cam, params, args.width, args.height)
+        if args.pathtrace:
+            if args.accum > 0:
+                # replay the accumulation structure: n passes of spp
+                # samples stratified over spp*n (render_accum semantics)
+                total = args.spp * args.accum
+                gold = sum(
+                    render_golden_pt(sb, cam, params, args.width,
+                                     args.height, spp=args.spp,
+                                     total_spp=total, seed=s)
+                    for s in range(args.accum)) / args.accum
+                gold = gold.reshape(args.height, args.width, 3)
+            else:
+                gold = render_golden_pt(sb, cam, params, args.width,
+                                        args.height).reshape(
+                    args.height, args.width, 3)
+        else:
+            gold = render_golden(sb, cam, params, args.width, args.height)
         err = rmse(np.clip(img, 0, 1), np.clip(gold, 0, 1))
         bad = (np.abs(np.clip(img, 0, 1)
                       - np.clip(gold, 0, 1)).max(-1) > 1 / 255).mean()

@@ -112,6 +112,31 @@ def _jitter(pix, samp, total_spp: int):
                                       total_spp, 0)
 
 
+def _camera_from_pix(cam: CameraArrays, width: int, height: int,
+                     pxi, pyi, pix, samp, total_spp: int):
+    """Shared camera-ray math: integer pixel coords + sample id -> ray
+    lanes (GenerateRay, raycast/render.h:190-208).  Everything is (R,)
+    arithmetic on the inputs — no gathers, so callers may pass lanes for
+    any pool subset (a full frame, a row block, or one slab)."""
+    px = pxi.astype(jnp.float32)
+    py = pyi.astype(jnp.float32)
+    jx, jy = _jitter(pix, samp, total_spp)
+    x_ndc = (px + jx) / width - 0.5
+    y_ndc = (py + jy) / height - 0.5
+    vx = x_ndc * cam.viewplane[0]
+    vy = y_ndc * cam.viewplane[1]
+    dx = vx * cam.right[0] + vy * cam.up[0] + cam.forward[0]
+    dy = vx * cam.right[1] + vy * cam.up[1] + cam.forward[1]
+    dz = vx * cam.right[2] + vy * cam.up[2] + cam.forward[2]
+    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv, dy * inv, dz * inv
+    r = px.shape[0]
+    ox = jnp.full(r, cam.pos[0])
+    oy = jnp.full(r, cam.pos[1])
+    oz = jnp.full(r, cam.pos[2])
+    return ox, oy, oz, dx, dy, dz
+
+
 def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
                   samp, total_spp: int, n_pix: int = None, pix_offset=0,
                   pix_perm: Optional[jnp.ndarray] = None
@@ -132,21 +157,8 @@ def _camera_lanes(cam: CameraArrays, width: int, height: int, spp: int,
         pix = pix_offset + pix_perm[base]
     else:
         pix = pix_offset + base
-    px = (pix % width).astype(jnp.float32)
-    py = (pix // width).astype(jnp.float32)
-    jx, jy = _jitter(pix, samp, total_spp)
-    x_ndc = (px + jx) / width - 0.5
-    y_ndc = (py + jy) / height - 0.5
-    vx = x_ndc * cam.viewplane[0]
-    vy = y_ndc * cam.viewplane[1]
-    dx = vx * cam.right[0] + vy * cam.up[0] + cam.forward[0]
-    dy = vx * cam.right[1] + vy * cam.up[1] + cam.forward[1]
-    dz = vx * cam.right[2] + vy * cam.up[2] + cam.forward[2]
-    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    dx, dy, dz = dx * inv, dy * inv, dz * inv
-    ox = jnp.full(r, cam.pos[0])
-    oy = jnp.full(r, cam.pos[1])
-    oz = jnp.full(r, cam.pos[2])
+    ox, oy, oz, dx, dy, dz = _camera_from_pix(
+        cam, width, height, pix % width, pix // width, pix, samp, total_spp)
     return ox, oy, oz, dx, dy, dz, pix
 
 
@@ -164,21 +176,8 @@ def _camera_lanes_tiled(cam: CameraArrays, width: int, height: int,
     q = jnp.arange(r, dtype=jnp.int32) // spp
     pxi, pyi = _tile_pixel_ids(q, width, tile_w, tile_h, row0)
     pix = pyi * width + pxi
-    px = pxi.astype(jnp.float32)
-    py = pyi.astype(jnp.float32)
-    jx, jy = _jitter(pix, samp, total_spp)
-    x_ndc = (px + jx) / width - 0.5
-    y_ndc = (py + jy) / height - 0.5
-    vx = x_ndc * cam.viewplane[0]
-    vy = y_ndc * cam.viewplane[1]
-    dx = vx * cam.right[0] + vy * cam.up[0] + cam.forward[0]
-    dy = vx * cam.right[1] + vy * cam.up[1] + cam.forward[1]
-    dz = vx * cam.right[2] + vy * cam.up[2] + cam.forward[2]
-    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    dx, dy, dz = dx * inv, dy * inv, dz * inv
-    ox = jnp.full(r, cam.pos[0])
-    oy = jnp.full(r, cam.pos[1])
-    oz = jnp.full(r, cam.pos[2])
+    ox, oy, oz, dx, dy, dz = _camera_from_pix(
+        cam, width, height, pxi, pyi, pix, samp, total_spp)
     return ox, oy, oz, dx, dy, dz, pix
 
 
@@ -261,14 +260,27 @@ def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
 
 def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                    alive, max_depth, shadow, bilinear, packet, chunk,
-                   tune_nonce, slab):
+                   tune_nonce, slab, stage_limit=None, collect_stats=False,
+                   trace_fn=None, bounce_packet=None):
     """The bounce pipeline over one lane set (trace + shadow occlusion +
     shade + spawn, max_depth waves).  Works at any lane count: the
     slab-major frame maps it over VMEM-sized groups (every intermediate
     — hit records, shade rows, radiance — then lives at slab size, which
     removes the pool-scale HBM round trips that dominated the monolithic
     frame: measured 72.6 -> see ARCHITECTURE.md rule 14), and the
-    chunked/anyhit path runs it once over the whole pool."""
+    chunked/anyhit path runs it once over the whole pool.
+
+    Observability hooks (the whole-frame RTU PerfStats analog,
+    rt_unit.h:15-45):
+    * ``collect_stats=True`` carries PacketStats through every trace and
+      returns them per wave (keys 'trace<k>' / 'shadow<k>') so one
+      program yields the full-frame divergence/occupancy profile;
+    * ``stage_limit=s`` truncates the pipeline after stage s (stage ids:
+      1+3k = bounce-k trace, 2+3k = bounce-k shadow, 3+3k = bounce-k
+      shade+spawn; 0 = camera only, handled by the caller) and keeps the
+      partial results live via the returned ``probe`` scalar — timing
+      consecutive limits attributes wall-clock ms to each wave.
+    Returns (rad_r, rad_g, rad_b, rays, steps, probe, wave_stats)."""
     ox, oy, oz, dx, dy, dz = lanes
     r = ox.shape[0]
     rad_r = jnp.zeros(r, jnp.float32)
@@ -280,12 +292,31 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
     bounce_ct = jnp.zeros(r, jnp.int32)
     rays_traced = jnp.int32(0)
     steps_total = jnp.int32(0)
+    probe = ox.sum() + dx.sum()  # keeps camera gen live under stage 0
+    wave_stats = {}
+    # per-wave packet size: bounce waves are incoherent (cosine-
+    # hemisphere directions), and a packet walks the UNION of its rays'
+    # paths — at 1080p depth-3 path trace the bounce wave dominated the
+    # frame ~60x.  Smaller packets (or the per-ray engine, 0) tighten
+    # the union at the cost of more packet-state lanes.
+    bounce_packet = packet if bounce_packet is None else bounce_packet
+
+    def _run(stage):
+        return stage_limit is None or stage <= stage_limit
 
     for bounce in range(max_depth):
+        if not _run(1 + bounce * 3):
+            break
+        wave_packet = packet if bounce == 0 else bounce_packet
 
         def _trace(tox, toy, toz, tdx, tdy, tdz, act, t_clamp=None,
-                   occl=False):
+                   occl=False, stats=False, pk=None):
             """Trace a pool-shaped ray set with the configured engine.
+
+            ``trace_fn`` (when given) replaces the local engines entirely
+            — the scene-sharded multi-chip path injects its
+            local-trace + cross-shard-combine step here
+            (parallel.shards).
 
             ``t_clamp`` bounds the search interval; ``occl=True`` runs the
             packet engine's any-hit occlusion mode (first hit retires the
@@ -298,7 +329,11 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
             at 512x512 spp2 even though summed iteration counts rise
             (measured; ARCHITECTURE.md rule 14).  Groups also exit their
             loops early on sparse waves (bounce/shadow tails)."""
-            if packet > 0 and table.anyhit is None and r % packet == 0:
+            if trace_fn is not None:
+                return trace_fn(tox, toy, toz, tdx, tdy, tdz, act,
+                                t_clamp, occl) + (None,)
+            pk = wave_packet if pk is None else pk
+            if pk > 0 and table.anyhit is None and r % pk == 0:
                 o3 = jnp.stack([tox, toy, toz], axis=1)
                 d3 = jnp.stack([tdx, tdy, tdz], axis=1)
                 tc = (jnp.full(r, LARGE_FLOAT) if t_clamp is None
@@ -307,13 +342,13 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                 # the HLO hash changes: the compile-basin redraw knob
                 # (runtime.warmup.reroll, ARCHITECTURE.md rule 13)
                 ms = 400_000 + tune_nonce
-                if 0 < slab < r and r % slab == 0:
+                if 0 < slab < r and r % slab == 0 and not stats:
                     g = r // slab
 
                     def gbody(args):
                         go, gd, ga, gt = args
                         h, st = trace_packets(
-                            wa, go, gd, packet=packet, active=ga,
+                            wa, go, gd, packet=pk, active=ga,
                             t_max=gt, occlusion=occl, max_steps=ms)
                         return (h.dist, h.bx, h.by, h.tri, h.inst, st)
 
@@ -324,44 +359,67 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                                 tc.reshape(g, slab)))
                     return (outs[0].reshape(r), outs[1].reshape(r),
                             outs[2].reshape(r), outs[3].reshape(r),
-                            outs[4].reshape(r), outs[5].sum())
-                h, st = trace_packets(wa, o3, d3, packet=packet,
+                            outs[4].reshape(r), outs[5].sum(), None)
+                h, st = trace_packets(wa, o3, d3, packet=pk,
                                       active=act, t_max=tc, occlusion=occl,
-                                      max_steps=ms)
-                return h.dist, h.bx, h.by, h.tri, h.inst, st
+                                      max_steps=ms, stats=stats)
+                if stats:
+                    return (h.dist, h.bx, h.by, h.tri, h.inst, st.steps,
+                            st)
+                return h.dist, h.bx, h.by, h.tri, h.inst, st, None
             return _trace_pool(
                 wa, sa, ctx, table, (tox, toy, toz, tdx, tdy, tdz), act,
                 ((thr_r + thr_g + thr_b) * (1.0 / 3.0), bounce_ct, pix,
-                 samp), chunk, t_clamp=t_clamp)
+                 samp), chunk, t_clamp=t_clamp) + (None,)
 
         rays_traced = rays_traced + alive.sum(dtype=jnp.int32)
-        dist, bx, by, tri, inst, steps = _trace(ox, oy, oz, dx, dy, dz,
-                                                alive)
+        dist, bx, by, tri, inst, steps, tstats = _trace(
+            ox, oy, oz, dx, dy, dz, alive, stats=collect_stats)
         steps_total = steps_total + steps
+        if tstats is not None:
+            wave_stats[f"trace{bounce}"] = tstats
+        if stage_limit is not None:
+            probe = probe + dist.sum() + bx.sum() + by.sum()
+        if not _run(2 + bounce * 3) and shadow:
+            break
 
         hit = alive & (dist < LARGE_FLOAT)
         miss = alive & ~hit
         tri_c = jnp.clip(tri, 0, sa.shade_rows.shape[0] - 1)
         inst_c = jnp.clip(inst, 0, sa.inst_shade.shape[0] - 1)
-        sp = shade_point(sa, ox, oy, oz, dx, dy, dz,
-                         dist, bx, by, 1.0 - bx - by, tri_c, inst_c,
-                         bilinear=bilinear)
         if shadow:
+            # shadow rays need the hit point only — full shading happens
+            # after the occlusion result (stage split: shadow ms and
+            # shade ms are separately attributable)
+            t_hit = jnp.minimum(dist, 1e18)
+            hpx, hpy, hpz = (ox + dx * t_hit, oy + dy * t_hit,
+                             oz + dz * t_hit)
             # shadow rays: occlusion-test the direct light term
             # (BASELINE config 2 "primary + shadow rays")
-            slx = light.light_pos[0] - sp.px
-            sly = light.light_pos[1] - sp.py
-            slz = light.light_pos[2] - sp.pz
+            slx = light.light_pos[0] - hpx
+            sly = light.light_pos[1] - hpy
+            slz = light.light_pos[2] - hpz
             dist_l = jnp.sqrt(slx * slx + sly * sly + slz * slz + 1e-20)
             sdx, sdy, sdz = slx / dist_l, sly / dist_l, slz / dist_l
             sh_act = hit
             rays_traced = rays_traced + sh_act.sum(dtype=jnp.int32)
-            sh_dist, _, _, _, _, sh_steps = _trace(
-                sp.px + sdx * 1e-3, sp.py + sdy * 1e-3, sp.pz + sdz * 1e-3,
+            sh_dist, _, _, _, _, sh_steps, shstats = _trace(
+                hpx + sdx * 1e-3, hpy + sdy * 1e-3, hpz + sdz * 1e-3,
                 sdx, sdy, sdz, sh_act,
-                t_clamp=dist_l * (1.0 - 1e-3), occl=True)
+                t_clamp=dist_l * (1.0 - 1e-3), occl=True,
+                stats=collect_stats)
             steps_total = steps_total + sh_steps
+            if shstats is not None:
+                wave_stats[f"shadow{bounce}"] = shstats
+            if stage_limit is not None:
+                probe = probe + sh_dist.sum()
             occluded = sh_act & (sh_dist < dist_l * (1.0 - 1e-3))
+        if not _run(3 + bounce * 3):
+            break
+        sp = shade_point(sa, ox, oy, oz, dx, dy, dz,
+                         dist, bx, by, 1.0 - bx - by, tri_c, inst_c,
+                         bilinear=bilinear)
+        if shadow:
             sp = sp._replace(lit=jnp.where(occluded, 0.0, 1.0))
         ray = RayLanes(ox, oy, oz, dx, dy, dz)
         pl = PayloadLanes((thr_r + thr_g + thr_b) * (1.0 / 3.0),
@@ -390,7 +448,8 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
         alive = spawn
         bounce_ct = jnp.where(spawn, bounce_ct + 1, bounce_ct)
 
-    return rad_r, rad_g, rad_b, rays_traced, steps_total
+    return (rad_r, rad_g, rad_b, rays_traced, steps_total, probe,
+            wave_stats)
 
 
 def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
@@ -401,7 +460,10 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                packet: int = 128, pix_perm=None, shadow: bool = False,
                tile_w: int = 16, tile_h: int = 16,
                total_spp: Optional[int] = None, tune_nonce: int = 0,
-               bilinear: bool = False, slab: int = 32768):
+               bilinear: bool = False, slab: int = 32768,
+               stage_limit: Optional[int] = None,
+               collect_stats: bool = False, trace_fn=None,
+               bounce_packet: Optional[int] = None):
     """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
     must be a whole number of rows for the tiled layout).  Returns
     ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
@@ -432,23 +494,113 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     # (render_accum) spread `spp` lanes per pass over spp*n_passes strata
     total_spp = spp if total_spp is None else total_spp
 
-    n_real = n_pix * spp
     rows = n_pix // width
     # pix_offset may be traced (multi-chip: dev * n_pix_local); row
     # alignment is then an API precondition (n_pix_local is a whole
     # number of rows, so every device offset is too)
     off_aligned = (pix_offset % width == 0
                    if isinstance(pix_offset, int) else True)
+    # adaptive tile height: 1080 rows don't divide by the default 16 —
+    # fall back through 8/4/2 so odd frame heights still get tile-major
+    # packet coherence + the gather-free resolve
+    if width % tile_w == 0 and n_pix % width == 0:
+        for th in (tile_h, 8, 4, 2):
+            if rows % th == 0:
+                tile_h = th
+                break
     tiled = (width % tile_w == 0 and n_pix % width == 0
              and rows % tile_h == 0 and off_aligned)
-    # pool padding: packet mode pads to the trace slab (so the pool maps
-    # into equal VMEM-resident groups; <= slab-1 dead padding lanes, and
-    # all-dead packets exit immediately); the per-ray path chunks by
-    # `chunk`
-    if packet > 0 and table.anyhit is None:
-        quantum = slab if (0 < slab < n_pix * spp) else packet
-    else:
-        quantum = chunk
+    slab_major = (packet > 0 and table.anyhit is None and pix_perm is None
+                  and 0 < slab < n_pix)
+
+    if slab_major:
+        # ---- streamed slab-major frame (the scale path) ----
+        # The pool is ONE SAMPLE per pixel, padded to whole slabs; spp
+        # streams as lax.scan passes that accumulate into the (r,)
+        # radiance planes.  Each slab generates its own camera rays from
+        # the slab index (pure lane arithmetic, zero pool-scale
+        # intermediates), so resident memory is O(n_pix) for the
+        # accumulator + O(slab) for loop state — 1080p x spp8 no longer
+        # materializes a 16.6M-lane pool (the round-2 TPU worker crash,
+        # BENCH_LADDER configs 3-5).
+        r = ((n_pix + slab - 1) // slab) * slab
+        g = r // slab
+        row0 = pix_offset // width if off_aligned else 0
+
+        def sbody(args_in):
+            gi, samp_scalar = args_in
+            lane = gi * slab + jnp.arange(slab, dtype=jnp.int32)
+            alive = lane < n_pix
+            q = jnp.minimum(lane, n_pix - 1)
+            if tiled:
+                pxi, pyi = _tile_pixel_ids(q, width, tile_w, tile_h, row0)
+                pix = pyi * width + pxi
+            else:
+                p = pix_offset + q
+                pxi, pyi = p % width, p // width
+                pix = p
+            samp = jnp.full((slab,), samp_scalar, jnp.uint32)
+            lanes6 = _camera_from_pix(cam, width, height, pxi, pyi, pix,
+                                      samp, total_spp)
+            rr, rg, rb, rays, steps, probe, wstats = _wave_pipeline(
+                wa, sa, ctx, table, light, lanes6, pix, samp, alive,
+                max_depth, shadow, bilinear, packet, chunk, tune_nonce, 0,
+                stage_limit=stage_limit, collect_stats=collect_stats,
+                trace_fn=trace_fn, bounce_packet=bounce_packet)
+            return rr, rg, rb, rays, steps, probe, wstats
+
+        gis = jnp.arange(g, dtype=jnp.int32)
+
+        def one_pass(samp_scalar):
+            outs = jax.lax.map(
+                sbody, (gis, jnp.full((g,), samp_scalar, jnp.uint32)))
+            return (outs[0].reshape(r), outs[1].reshape(r),
+                    outs[2].reshape(r), outs[3].sum(), outs[4].sum(),
+                    outs[5].sum(), jax.tree.map(lambda a: a.sum(), outs[6]))
+
+        if spp == 1:
+            (rad_r, rad_g, rad_b, rays_traced, steps_total, probe,
+             wstats) = one_pass(seed_u * jnp.uint32(spp))
+        else:
+            def pass_body(acc, samp_scalar):
+                rr, rg, rb, rays, steps, probe, ws = one_pass(samp_scalar)
+                return (acc[0] + rr, acc[1] + rg, acc[2] + rb,
+                        acc[3] + rays, acc[4] + steps, acc[5] + probe,
+                        jax.tree.map(jnp.add, acc[6], ws)), None
+
+            samps = (seed_u * jnp.uint32(spp)
+                     + jnp.arange(spp, dtype=jnp.uint32))
+            zstats = ({} if not collect_stats else jax.tree.map(
+                lambda _: jnp.int32(0),
+                jax.eval_shape(lambda s: one_pass(s)[6],
+                               jnp.uint32(0))))
+            acc0 = (jnp.zeros(r, jnp.float32), jnp.zeros(r, jnp.float32),
+                    jnp.zeros(r, jnp.float32), jnp.int32(0), jnp.int32(0),
+                    jnp.float32(0), zstats)
+            (rad_r, rad_g, rad_b, rays_traced, steps_total, probe,
+             wstats), _ = jax.lax.scan(pass_body, acc0, samps)
+
+        inv_spp = jnp.float32(1.0 / spp)
+        if tiled:
+            img = jnp.stack([
+                _resolve_tiled(c[:n_pix] * inv_spp, width, rows, 1,
+                               tile_w, tile_h).reshape(n_pix)
+                for c in (rad_r, rad_g, rad_b)])
+        else:
+            img = jnp.stack([rad_r[:n_pix], rad_g[:n_pix],
+                             rad_b[:n_pix]]) * inv_spp
+        if stage_limit is not None:
+            # staged profiling: keep every executed wave live through the
+            # image checksum (render_burst reduces to one scalar)
+            img = img + probe * jnp.float32(1e-6)
+        if collect_stats:
+            return img, rays_traced, steps_total, wstats
+        return img, rays_traced, steps_total
+
+    # ---- legacy monolithic pool (any-hit suspension / per-ray engine /
+    # explicit pixel permutations): spp folded into the pool ----
+    n_real = n_pix * spp
+    quantum = packet if (packet > 0 and table.anyhit is None) else chunk
     r = ((n_real + quantum - 1) // quantum) * quantum
     # global sample index per lane: pass `seed` contributes spp samples
     samp = (seed_u * jnp.uint32(spp)
@@ -472,31 +624,12 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     samp = pad(samp)
     alive = jnp.arange(r, dtype=jnp.int32) < n_real
     args = (ox, oy, oz, dx, dy, dz)
-    slab_major = (packet > 0 and table.anyhit is None
-                  and 0 < slab < r and r % slab == 0)
-    if slab_major:
-        g = r // slab
-
-        def sbody(a):
-            lanes6 = a[:6]
-            rr, rg, rb, rays, steps = _wave_pipeline(
-                wa, sa, ctx, table, light, lanes6, a[6], a[7], a[8],
-                max_depth, shadow, bilinear, packet, chunk, tune_nonce,
-                0)
-            return rr, rg, rb, rays, steps
-
-        outs = jax.lax.map(
-            sbody, tuple(a.reshape(g, slab)
-                         for a in args + (pix, samp, alive)))
-        rad_r = outs[0].reshape(r)
-        rad_g = outs[1].reshape(r)
-        rad_b = outs[2].reshape(r)
-        rays_traced = outs[3].sum()
-        steps_total = outs[4].sum()
-    else:
-        rad_r, rad_g, rad_b, rays_traced, steps_total = _wave_pipeline(
-            wa, sa, ctx, table, light, args, pix, samp, alive,
-            max_depth, shadow, bilinear, packet, chunk, tune_nonce, slab)
+    (rad_r, rad_g, rad_b, rays_traced, steps_total, probe,
+     wstats) = _wave_pipeline(
+        wa, sa, ctx, table, light, args, pix, samp, alive,
+        max_depth, shadow, bilinear, packet, chunk, tune_nonce, slab,
+        stage_limit=stage_limit, collect_stats=collect_stats,
+        trace_fn=trace_fn, bounce_packet=bounce_packet)
 
     # ---- resolve: rays never moved lanes, so pool order IS (pixel, spp)
     # order; tile-major lanes resolve with a reshape+transpose.  Channels
@@ -513,44 +646,50 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             rad_r[:n_real].reshape(n_pix, spp).mean(1),
             rad_g[:n_real].reshape(n_pix, spp).mean(1),
             rad_b[:n_real].reshape(n_pix, spp).mean(1)])
+    if stage_limit is not None:
+        img = img + probe * jnp.float32(1e-6)
+    if collect_stats:
+        return img, rays_traced, steps_total, wstats
     return img, rays_traced, steps_total
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "bilinear"))
+                          "bilinear", "bounce_packet"))
 def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      light: LightArrays, width: int, height: int,
                      max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                      table: ShaderTable = None, seed: int = 0,
                      packet: int = 128, shadow: bool = False,
                      tile_w: int = 16, tile_h: int = 16,
-                     bilinear: bool = False):
+                     bilinear: bool = False, bounce_packet=None):
     """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
     img, rays, steps = frame_body(
         wa, sa, cam, light, width, height, width * height, 0,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
         packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
-        bilinear=bilinear)
+        bilinear=bilinear, bounce_packet=bounce_packet)
     return (img.reshape(3, height, width).transpose(1, 2, 0),
             rays, steps)
 
 
 def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
                  chunk=4096, table=None, seed=0, packet=128,
-                 tile_w=16, tile_h=16, shadow=False, bilinear=False):
+                 tile_w=16, tile_h=16, shadow=False, bilinear=False,
+                 bounce_packet=None):
     """Host wrapper around render_wavefront (kept as the stable API)."""
     return render_wavefront(
         wa, sa, cam, light, width, height, max_depth=max_depth, spp=spp,
         chunk=chunk, table=table, seed=seed, packet=packet,
-        shadow=shadow, tile_w=tile_w, tile_h=tile_h, bilinear=bilinear)
+        shadow=shadow, tile_w=tile_w, tile_h=tile_h, bilinear=bilinear,
+        bounce_packet=bounce_packet)
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "n_frames", "tune_nonce"))
+                          "n_frames", "tune_nonce", "bounce_packet"))
 def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_frames: int = 16, seed0=0,
@@ -558,7 +697,7 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  table: ShaderTable = None,
                  packet: int = 128, shadow: bool = False,
                  tile_w: int = 16, tile_h: int = 16,
-                 tune_nonce: int = 0):
+                 tune_nonce: int = 0, bounce_packet=None):
     """Render ``n_frames`` frames (seeds seed0..seed0+n-1) inside ONE XLA
     program, reduced to ONE i32: the exact total ray count (plus an
     always-zero anti-DCE guard derived from the radiance checksum).  No
@@ -590,7 +729,8 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             wa, sa, cam, light, width, height, width * height, 0,
             max_depth=max_depth, spp=spp, chunk=chunk, table=table,
             seed=seed, packet=packet, shadow=shadow,
-            tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce)
+            tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce,
+            bounce_packet=bounce_packet)
         return img.sum(), rays, steps
 
     seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
@@ -602,14 +742,14 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "n_passes"))
+                          "n_passes", "bounce_packet"))
 def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_passes: int = 4, seed0=0,
                  max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                  table: ShaderTable = None,
                  packet: int = 128, shadow: bool = False,
-                 tile_w: int = 16, tile_h: int = 16):
+                 tile_w: int = 16, tile_h: int = 16, bounce_packet=None):
     """Progressive accumulation: average ``n_passes`` frames (stratified
     over spp*n_passes total samples per pixel) inside ONE XLA program.
     Returns ((H, W, 3) image, total rays, total steps).
@@ -629,7 +769,8 @@ def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             wa, sa, cam, light, width, height, width * height, 0,
             max_depth=max_depth, spp=spp, chunk=chunk, table=table,
             seed=seed, packet=packet, shadow=shadow,
-            tile_w=tile_w, tile_h=tile_h, total_spp=total)
+            tile_w=tile_w, tile_h=tile_h, total_spp=total,
+            bounce_packet=bounce_packet)
         a_img, a_rays, a_steps = acc
         return (a_img + img, a_rays + rays, a_steps + steps), None
 
@@ -639,6 +780,60 @@ def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     (img, rays, steps), _ = jax.lax.scan(body, acc0, seeds)
     out = (img * (1.0 / n_passes)).reshape(3, height, width)
     return out.transpose(1, 2, 0), rays, steps
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "max_depth", "spp", "chunk",
+                          "table", "packet", "shadow", "tile_w", "tile_h",
+                          "n_frames", "tune_nonce", "stage_limit"))
+def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
+                         light: LightArrays, width: int, height: int,
+                         n_frames: int = 8, seed0=0,
+                         max_depth: int = 2, spp: int = 1, chunk: int = 4096,
+                         table: ShaderTable = None,
+                         packet: int = 128, shadow: bool = False,
+                         tile_w: int = 16, tile_h: int = 16,
+                         tune_nonce: int = 0, stage_limit: int = 0):
+    """Stage-truncated burst for wall-clock attribution: same scalar-only
+    shape as render_burst but the frame stops after ``stage_limit`` (0 =
+    camera only; 1+3k / 2+3k / 3+3k = bounce-k trace / shadow / shade).
+    Timing consecutive limits yields the per-wave ms breakdown that
+    round 2 derived by hand (ARCHITECTURE.md frame budget)."""
+
+    def body(seed):
+        img, rays, steps = frame_body(
+            wa, sa, cam, light, width, height, width * height, 0,
+            max_depth=max_depth, spp=spp, chunk=chunk, table=table,
+            seed=seed, packet=packet, shadow=shadow,
+            tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce,
+            stage_limit=stage_limit)
+        return img.sum(), rays, steps
+
+    seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
+    c, r, s = jax.lax.map(body, seeds)
+    guard = (c.sum() * jnp.float32(1e-30)).astype(jnp.int32)  # always 0
+    return r.sum() + guard
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "max_depth", "spp", "chunk",
+                          "table", "packet", "shadow", "tile_w", "tile_h"))
+def render_stats(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
+                 light: LightArrays, width: int, height: int,
+                 max_depth: int = 2, spp: int = 1, chunk: int = 4096,
+                 table: ShaderTable = None, seed: int = 0,
+                 packet: int = 128, shadow: bool = False,
+                 tile_w: int = 16, tile_h: int = 16):
+    """One frame with whole-frame PacketStats: returns (rays, steps,
+    {wave: PacketStats}) — the full-frame RTU PerfStats analog
+    (rt_unit.h:15-45), per wave (primary / shadow / bounce-k)."""
+    img, rays, steps, wstats = frame_body(
+        wa, sa, cam, light, width, height, width * height, 0,
+        max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
+        packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
+        collect_stats=True)
+    return rays + (img.sum() * jnp.float32(1e-30)).astype(jnp.int32), \
+        steps, wstats
 
 
 # ---------------------------------------------------------------------------
@@ -827,7 +1022,8 @@ class WavefrontRenderer:
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             shadow=params.shadow,
-            bilinear=self.config.tex_filter == "bilinear")
+            bilinear=self.config.tex_filter == "bilinear",
+            bounce_packet=self.config.bounce_packet)
         return np.asarray(img), int(nrays)
 
     def _table_for(self, params: RenderParams) -> ShaderTable:
@@ -860,7 +1056,8 @@ class WavefrontRenderer:
             chunk=self.config.lanes, table=self._table_for(params),
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
-            shadow=params.shadow, tune_nonce=self._dev_cache.get("nonce", 0))
+            shadow=params.shadow, tune_nonce=self._dev_cache.get("nonce", 0),
+            bounce_packet=self.config.bounce_packet)
         if rays_only:
             return int(nrays)
         # the burst program is scalar-only (fast compile basin); the last
@@ -876,53 +1073,87 @@ class WavefrontRenderer:
     def perf_trace(self, cam: Camera, params: RenderParams,
                    width: Optional[int] = None,
                    height: Optional[int] = None) -> dict:
-        """Primary-trace divergence profile (the RTU PerfStats analog,
-        rt_unit.h:15-45): runs one primary wave with PacketStats enabled
-        and returns derived occupancy/divergence ratios.  Diagnostic
-        path — compiled separately from the render programs."""
+        """WHOLE-FRAME divergence profile (the RTU PerfStats analog,
+        rt_unit.h:15-45): one frame with PacketStats carried through
+        every wave — primary trace, per-bounce traces, shadow occlusion
+        waves — returning per-wave loop iterations, live-packet steps,
+        live-ray steps, and node-kind mix (VERDICT r2 weak #4: the
+        shipped tracer now covers the full frame, not just the primary
+        wave).  Diagnostic path — compiled separately from the render
+        programs."""
         w = width or self.config.width
         h = height or self.config.height
-        p = self.config.packet_size or 128
-        ca, _ = self._dev_args(cam, params)
-        n_real = w * h * params.spp
-        r = ((n_real + p - 1) // p) * p
+        ca, light = self._dev_args(cam, params)
+        rays, steps, wstats = render_stats(
+            self.wa, self.sa, ca, light, w, h,
+            max_depth=params.max_depth, spp=params.spp,
+            chunk=self.config.lanes, table=self._table_for(params),
+            packet=self.config.packet_size, shadow=params.shadow,
+            tile_w=self.config.tile_w, tile_h=self.config.tile_h)
+        out = dict(rays=int(rays), steps=int(steps),
+                   packet_size=self.config.packet_size)
+        for name in sorted(wstats):
+            st = jax.tree.map(int, wstats[name])
+            out[name] = dict(
+                steps=st.steps, packet_steps=st.packet_steps,
+                ray_steps=st.ray_steps,
+                rays_per_live_packet=round(
+                    st.ray_steps / max(st.packet_steps, 1), 2),
+                int_steps=st.int_steps, tri_steps=st.tri_steps,
+                ins_steps=st.ins_steps)
+        return out
 
-        @partial(jax.jit, static_argnames=("spp", "tw", "th"))
-        def probe(wa, ca, spp: int, tw: int, th: int):
-            samp = (jnp.arange(n_real, dtype=jnp.int32)
-                    % spp).astype(jnp.uint32)
-            if w % tw == 0 and (n_real // spp) % w == 0 \
-                    and (n_real // spp // w) % th == 0:
-                lanes = _camera_lanes_tiled(ca, w, h, spp, samp,
-                                            spp, tw, th, w * h, 0)
+    def frame_profile(self, cam: Camera, params: RenderParams,
+                      width: Optional[int] = None,
+                      height: Optional[int] = None,
+                      n_frames: int = 8) -> list:
+        """Wall-clock ms attribution per wave: times stage-truncated
+        bursts (camera -> +trace0 -> +shadow0 -> +shade0 -> +trace1 ...)
+        and reports the deltas — one command reproduces the frame-budget
+        breakdown round 2 derived from scratch scripts (VERDICT r2
+        next-round #5).  Each stage is its own program: expect a compile
+        per stage on first use."""
+        import time as _time
+
+        w = width or self.config.width
+        h = height or self.config.height
+        ca, light = self._dev_args(cam, params)
+        table = self._table_for(params)
+        labels = ["camera"]
+        for k in range(params.max_depth):
+            labels.append(f"trace{k}")
+            if params.shadow:
+                labels.append(f"shadow{k}")
+            labels.append(f"shade{k}")
+
+        def run(limit, seed0):
+            return int(render_profile_burst(
+                self.wa, self.sa, ca, light, w, h, n_frames=n_frames,
+                seed0=seed0, max_depth=params.max_depth, spp=params.spp,
+                chunk=self.config.lanes, table=table,
+                packet=self.config.packet_size, shadow=params.shadow,
+                tile_w=self.config.tile_w, tile_h=self.config.tile_h,
+                tune_nonce=self._dev_cache.get("nonce", 0),
+                stage_limit=limit))
+
+        stage_ids = []
+        for lab in labels:
+            if lab == "camera":
+                stage_ids.append(0)
             else:
-                lanes = _camera_lanes(ca, w, h, spp, samp, spp)
-            ox, oy, oz, dx, dy, dz, pix = lanes
-
-            def pad(a, fill=0):
-                return (jnp.concatenate(
-                    [a, jnp.full(r - n_real, fill, a.dtype)])
-                    if r > n_real else a)
-
-            o3 = jnp.stack([pad(ox), pad(oy), pad(oz)], axis=1)
-            d3 = jnp.stack([pad(dx), pad(dy, 1.0), pad(dz)], axis=1)
-            act = jnp.arange(r, dtype=jnp.int32) < n_real
-            hits, st = trace_packets(self.wa, o3, d3, packet=p,
-                                     active=act, stats=True)
-            return st
-
-        st = jax.tree.map(int, probe(self.wa, ca, params.spp,
-                                     self.config.tile_w,
-                                     self.config.tile_h))
-        b = r // p
-        out = dict(steps=st.steps, packets=b, packet_size=p,
-                   packet_steps=st.packet_steps,
-                   occupancy=round(st.packet_steps / max(st.steps * b, 1),
-                                   4),
-                   rays_per_live_packet=round(
-                       st.ray_steps / max(st.packet_steps, 1), 2),
-                   int_steps=st.int_steps, tri_steps=st.tri_steps,
-                   ins_steps=st.ins_steps)
+                k = int(lab[-1])
+                op = {"trace": 1, "shadow": 2, "shade": 3}[lab[:-1]]
+                stage_ids.append(op + 3 * k)
+        out = []
+        prev_ms = 0.0
+        for lab, sid in zip(labels, stage_ids):
+            run(sid, 0)  # compile + warm
+            t0 = _time.perf_counter()
+            run(sid, n_frames)
+            ms = (_time.perf_counter() - t0) * 1e3 / n_frames
+            out.append(dict(stage=lab, cum_ms=round(ms, 2),
+                            ms=round(ms - prev_ms, 2)))
+            prev_ms = ms
         return out
 
     def render_accum(self, cam: Camera, params: RenderParams,
@@ -942,7 +1173,8 @@ class WavefrontRenderer:
             chunk=self.config.lanes, table=self._table_for(params),
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
-            shadow=params.shadow)
+            shadow=params.shadow,
+            bounce_packet=self.config.bounce_packet)
         return np.asarray(img), int(nrays)
 
     def _render_chunked(self, cam: Camera, params: RenderParams,

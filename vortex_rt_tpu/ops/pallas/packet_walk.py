@@ -1,0 +1,303 @@
+"""Pallas packet traversal experiment — the scalar-driven node walk.
+
+The XLA packet engine (ops.traverse_packet) executes EVERY node-kind
+path (internal slab tests + 4-triangle Moller-Trumbore + instance
+transform) at every step, masked — the price of SPMD across packets in
+one while_loop.  The RTU steps one node per packet per cycle and only
+does that node's work (sim/simx/rt_traversal.cpp:51-165).  This kernel
+reproduces that shape on the TPU: the grid runs one program per packet,
+the packet's CURRENT NODE INDEX is a scalar, and a ``lax.switch`` on the
+node kind executes only the taken path — the thing Mosaic can express
+(scalar dynamic indexing into VMEM refs) and XLA's vectorized
+while_loop cannot.
+
+Scope / honest limitations (measured results in docs/ARCHITECTURE.md):
+* scene tables (node pool + packed leaf rows) must FIT IN VMEM
+  (~12 MB budget -> scenes up to roughly 40k triangles).  Larger scenes
+  need HBM-resident tables with per-step scalar-indexed DMA, whose
+  ~1 us latency per (data-dependent) fetch cannot be hidden inside a
+  single sequential walk — that variant is latency-bound by
+  construction and was not pursued;
+* the short-stack/restart-trail machinery is replaced by a full
+  (overflow-proof) SMEM stack — scalar dynamic indexing makes a real
+  stack free here, unlike the lane-form engines;
+* rays are processed as an (8, 128) tile per packet (P=1024 fills the
+  8x128 VPU exactly; P=128 runs at 1/8 sublane utilization).
+
+This is the SURVEY §2.7 item 7/8 experiment the round-1/2 verdicts
+asked for; ``tools/bench_pallas.py`` compares it against
+ops.traverse_packet on identical rays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vortex_rt_tpu.accel import qbvh
+from vortex_rt_tpu.ops.traverse2 import Hits
+from vortex_rt_tpu.ops.traverse_wide import (
+    _LEFT_BITS, _LEFT_MASK, WideArrays,
+)
+from vortex_rt_tpu.utils.config import LARGE_FLOAT, MT_EPSILON
+
+try:  # Pallas TPU backend (absent on some CPU-only builds)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+SUB = 8          # sublanes per ray tile
+LANE = 128       # lanes per ray tile
+P = SUB * LANE   # rays per packet
+
+
+def vmem_bytes(wa: WideArrays) -> int:
+    return int(wa.nodes.size * 4 + wa.tri_rows.size * 4)
+
+
+def _walk_kernel(nodes_ref, rows_ref, ox_ref, oy_ref, oz_ref,
+                 dx_ref, dy_ref, dz_ref,
+                 dist_ref, bx_ref, by_ref, tri_ref, inst_ref, steps_ref,
+                 stack_ref, num_tlas: int, n_nodes: int, n_rows: int,
+                 max_steps: int):
+    eps = jnp.float32(MT_EPSILON)
+
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+
+    def rcp(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                               jnp.where(d < 0, -1e-20, 1e-20), d)
+
+    ivx, ivy, ivz = rcp(dx), rcp(dy), rcp(dz)
+
+    def body(state):
+        (node, scount, steps, lox, loy, loz, ldx, ldy, ldz,
+         lix, liy, liz, inst, best_t, bx, by, tri, binst, alive) = state
+        node_c = jnp.clip(node, 0, n_nodes - 1)
+        meta = nodes_ref[node_c, 14]
+        kind = (meta >> 29).astype(jnp.int32)
+        nch = ((meta >> _LEFT_BITS) & 7).astype(jnp.int32)
+        left = (meta & _LEFT_MASK).astype(jnp.int32)
+        leaf_data = nodes_ref[node_c, 15].astype(jnp.int32)
+        in_tlas = node_c < num_tlas
+
+        rox = jnp.where(in_tlas, ox, lox)
+        roy = jnp.where(in_tlas, oy, loy)
+        roz = jnp.where(in_tlas, oz, loz)
+        rix = jnp.where(in_tlas, ivx, lix)
+        riy = jnp.where(in_tlas, ivy, liy)
+        riz = jnp.where(in_tlas, ivz, liz)
+
+        def f32(w):
+            # scalar bitcast (pltpu.bitcast needs >=2D)
+            return jax.lax.bitcast_convert_type(w, jnp.float32)
+
+        def internal(_):
+            gx = f32(nodes_ref[node_c, 0])
+            gy = f32(nodes_ref[node_c, 1])
+            gz = f32(nodes_ref[node_c, 2])
+            sx = f32(nodes_ref[node_c, 3])
+            sy = f32(nodes_ref[node_c, 4])
+            sz = f32(nodes_ref[node_c, 5])
+            dists = []
+            for c in range(4):
+                ql = nodes_ref[node_c, 6 + c]
+                qh = nodes_ref[node_c, 10 + c]
+                lx = gx + (ql & 255).astype(jnp.float32) * sx
+                ly = gy + ((ql >> 8) & 255).astype(jnp.float32) * sy
+                lz = gz + ((ql >> 16) & 255).astype(jnp.float32) * sz
+                hx = gx + (qh & 255).astype(jnp.float32) * sx
+                hy = gy + ((qh >> 8) & 255).astype(jnp.float32) * sy
+                hz = gz + ((qh >> 16) & 255).astype(jnp.float32) * sz
+                t1x = (lx - rox) * rix
+                t2x = (hx - rox) * rix
+                t1y = (ly - roy) * riy
+                t2y = (hy - roy) * riy
+                t1z = (lz - roz) * riz
+                t2z = (hz - roz) * riz
+                tmin = jnp.maximum(jnp.maximum(
+                    jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z))
+                tmax = jnp.minimum(jnp.minimum(
+                    jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z))
+                hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < best_t)
+                pd = jnp.min(jnp.where(hit, tmin, LARGE_FLOAT))
+                dists.append(jnp.where(c < nch, pd, LARGE_FLOAT))
+            # near -> far scalar sorting network over (dist, slot) pairs
+            ds = list(dists)
+            ix = [jnp.int32(c) for c in range(4)]
+            for a_i, b_i in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                swap = ds[a_i] > ds[b_i]
+                ds[a_i], ds[b_i] = (jnp.where(swap, ds[b_i], ds[a_i]),
+                                    jnp.where(swap, ds[a_i], ds[b_i]))
+                ix[a_i], ix[b_i] = (jnp.where(swap, ix[b_i], ix[a_i]),
+                                    jnp.where(swap, ix[a_i], ix[b_i]))
+            n_hit = sum((dd < LARGE_FLOAT).astype(jnp.int32) for dd in ds)
+
+            # push far children (reverse order) onto the SMEM stack,
+            # descend into the closest
+            sc2 = scount
+            for j in (3, 2, 1):
+                do = ds[j] < LARGE_FLOAT
+
+                @pl.when(do)
+                def _(j=j, sc2=sc2):
+                    stack_ref[sc2] = left + ix[j]
+                sc2 = sc2 + do.astype(jnp.int32)
+            nxt = jnp.where(n_hit > 0, left + ix[0], node)
+            return nxt, sc2, n_hit > 0, inst, lox, loy, loz, ldx, ldy, \
+                ldz, lix, liy, liz, best_t, bx, by, tri, binst
+
+        def tri_leaf(_):
+            row_i = jnp.clip(left, 0, n_rows - 1)
+            t_b, bx_b, by_b, tri_b, bi_b = best_t, bx, by, tri, binst
+            for c in range(4):
+                b0 = 16 * c
+                v0x = rows_ref[row_i, b0 + 0]
+                v0y = rows_ref[row_i, b0 + 1]
+                v0z = rows_ref[row_i, b0 + 2]
+                e1x = rows_ref[row_i, b0 + 3]
+                e1y = rows_ref[row_i, b0 + 4]
+                e1z = rows_ref[row_i, b0 + 5]
+                e2x = rows_ref[row_i, b0 + 6]
+                e2y = rows_ref[row_i, b0 + 7]
+                e2z = rows_ref[row_i, b0 + 8]
+                tid = jax.lax.bitcast_convert_type(
+                    rows_ref[row_i, b0 + 9], jnp.int32)
+                hx_ = ldy * e2z - ldz * e2y
+                hy_ = ldz * e2x - ldx * e2z
+                hz_ = ldx * e2y - ldy * e2x
+                a = e1x * hx_ + e1y * hy_ + e1z * hz_
+                fba = 1.0 / jnp.where(jnp.abs(a) < eps, 1.0, a)
+                sx_ = lox - v0x
+                sy_ = loy - v0y
+                sz_ = loz - v0z
+                w1 = fba * (sx_ * hx_ + sy_ * hy_ + sz_ * hz_)
+                qx = sy_ * e1z - sz_ * e1y
+                qy = sz_ * e1x - sx_ * e1z
+                qz = sx_ * e1y - sy_ * e1x
+                w2 = fba * (ldx * qx + ldy * qy + ldz * qz)
+                t = fba * (e2x * qx + e2y * qy + e2z * qz)
+                ok = ((jnp.abs(a) >= eps) & (w1 >= 0.0) & (w1 <= 1.0)
+                      & (w2 >= 0.0) & (w1 + w2 <= 1.0) & (t > eps)
+                      & (c < leaf_data))
+                t = jnp.where(ok, t, LARGE_FLOAT)
+                better = (t < t_b) | ((t == t_b) & (t < LARGE_FLOAT)
+                                      & (tid < tri_b))
+                t_b = jnp.where(better, t, t_b)
+                bx_b = jnp.where(better, w1, bx_b)
+                by_b = jnp.where(better, w2, by_b)
+                tri_b = jnp.where(better, tid, tri_b)
+                bi_b = jnp.where(better, inst, bi_b)
+            return node, scount, jnp.bool_(False), inst, lox, loy, loz, \
+                ldx, ldy, ldz, lix, liy, liz, t_b, bx_b, by_b, tri_b, bi_b
+
+        def instance(_):
+            mm = [f32(nodes_ref[node_c, 16 + k]) for k in range(12)]
+            nlox = mm[0] * ox + mm[1] * oy + mm[2] * oz + mm[3]
+            nloy = mm[4] * ox + mm[5] * oy + mm[6] * oz + mm[7]
+            nloz = mm[8] * ox + mm[9] * oy + mm[10] * oz + mm[11]
+            nldx = mm[0] * dx + mm[1] * dy + mm[2] * dz
+            nldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
+            nldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
+            blas_root = nodes_ref[node_c, 28].astype(jnp.int32)
+            return blas_root, scount, jnp.bool_(True), left, \
+                nlox, nloy, nloz, nldx, nldy, nldz, \
+                rcp(nldx), rcp(nldy), rcp(nldz), best_t, bx, by, tri, binst
+
+        (nxt, sc2, descended, inst2, lox2, loy2, loz2, ldx2, ldy2, ldz2,
+         lix2, liy2, liz2, bt2, bx2, by2, tri2, bi2) = jax.lax.switch(
+            jnp.clip(kind, 0, 2), [internal, tri_leaf, instance], None)
+
+        # pop when we didn't descend
+        can_pop = sc2 > 0
+        do_pop = jnp.logical_and(~descended, can_pop)
+        pop_idx = jnp.maximum(sc2 - 1, 0)
+        popped = stack_ref[pop_idx]
+        nxt = jnp.where(do_pop, popped, nxt)
+        sc3 = jnp.where(do_pop, sc2 - 1, sc2)
+        alive2 = jnp.logical_and(alive,
+                                 jnp.logical_or(descended, can_pop))
+        return (nxt, sc3, steps + 1, lox2, loy2, loz2, ldx2, ldy2, ldz2,
+                lix2, liy2, liz2, inst2, bt2, bx2, by2, tri2, bi2, alive2)
+
+    def cond(state):
+        return jnp.logical_and(state[18], state[2] < max_steps)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, jnp.int32(0),
+            jnp.full((SUB, LANE), LARGE_FLOAT), jnp.zeros((SUB, LANE)),
+            jnp.zeros((SUB, LANE)), jnp.full((SUB, LANE), 2**31 - 1,
+                                             jnp.int32),
+            jnp.zeros((SUB, LANE), jnp.int32), jnp.bool_(True))
+    final = jax.lax.while_loop(cond, body, init)
+    dist_ref[0] = final[13]
+    bx_ref[0] = final[14]
+    by_ref[0] = final[15]
+    tri_ref[0] = final[16]
+    inst_ref[0] = final[17]
+    steps_ref[0, 0] = final[2]
+
+
+@partial(jax.jit, static_argnames=("max_steps", "interpret"))
+def trace_packets_pallas(wa: WideArrays, o: jnp.ndarray, d: jnp.ndarray,
+                         max_steps: int = 200_000,
+                         interpret: bool = False):
+    """Closest-hit trace of (R, 3) rays; R must divide by P=1024.
+
+    One Mosaic program per packet: scalar node walk + kind-switched
+    step (see module docstring).  Scene tables must fit in VMEM."""
+    assert HAVE_PALLAS, "Pallas TPU backend unavailable"
+    r = o.shape[0]
+    assert r % P == 0, f"ray count must be a multiple of {P}"
+    b = r // P
+    n_nodes = int(wa.nodes.shape[0])
+    n_rows = int(wa.tri_rows.shape[0])
+    stack_n = 3 * (int(wa.depth) + 2) + 8
+
+    def split(a):  # (R,) -> (B, SUB, LANE)
+        return a.reshape(b, SUB, LANE)
+
+    kern = partial(_walk_kernel, num_tlas=int(wa.num_tlas),
+                   n_nodes=n_nodes, n_rows=n_rows, max_steps=max_steps)
+    outs = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows
+        ] + [pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec((1, 1), lambda i: (i, 0),
+                        memory_space=pltpu.SMEM)],
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b, SUB, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((b, SUB, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
+    )(wa.nodes, wa.tri_rows,
+      split(o[:, 0]), split(o[:, 1]), split(o[:, 2]),
+      split(d[:, 0]), split(d[:, 1]), split(d[:, 2]))
+
+    dist, bx, by, tri, inst, steps = outs
+    flat = lambda a: a.reshape(r)
+    miss = dist >= LARGE_FLOAT
+    return Hits(dist=flat(dist), bx=flat(bx), by=flat(by),
+                bz=flat(1.0 - bx - by),
+                tri=flat(jnp.where(miss, 0, tri)),
+                inst=flat(inst)), steps.sum()

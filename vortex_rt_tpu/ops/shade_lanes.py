@@ -146,27 +146,32 @@ def shade_point(sa: ShadeArrays,
     t = jnp.minimum(dist, 1e18)
     px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
 
-    row = sa.shade_rows[tri]
+    # gathered records are transposed ONCE and sliced by row: extracting
+    # a column from a (R, 16) gather is a strided cross-lane relayout
+    # (~0.03 ms per column at R=64k on a v5e) while a (16, R) row slice
+    # is free — ARCHITECTURE.md rule 2, same layout trick as the
+    # traversal engines' node fetch
+    row = sa.shade_rows[tri].T
     # N = N1*bx + N2*by + N0*bz (closest.cpp:71)
-    nx = row[:, 3] * bx + row[:, 6] * by + row[:, 0] * bz
-    ny = row[:, 4] * bx + row[:, 7] * by + row[:, 1] * bz
-    nz = row[:, 5] * bx + row[:, 8] * by + row[:, 2] * bz
-    irow = sa.inst_shade[inst]
+    nx = row[3] * bx + row[6] * by + row[0] * bz
+    ny = row[4] * bx + row[7] * by + row[1] * bz
+    nz = row[5] * bx + row[8] * by + row[2] * bz
+    irow = sa.inst_shade[inst].T
     # normals transform by the instance's inverse-transpose (closest.cpp:72)
-    tnx = irow[:, 0] * nx + irow[:, 1] * ny + irow[:, 2] * nz
-    tny = irow[:, 3] * nx + irow[:, 4] * ny + irow[:, 5] * nz
-    tnz = irow[:, 6] * nx + irow[:, 7] * ny + irow[:, 8] * nz
+    tnx = irow[0] * nx + irow[1] * ny + irow[2] * nz
+    tny = irow[3] * nx + irow[4] * ny + irow[5] * nz
+    tnz = irow[6] * nx + irow[7] * ny + irow[8] * nz
     nx, ny, nz = _normalize(tnx, tny, tnz)
 
     # uv = uv1*bx + uv2*by + uv0*bz (closest.cpp:77)
-    u = row[:, 11] * bx + row[:, 13] * by + row[:, 9] * bz
-    v = row[:, 12] * bx + row[:, 14] * by + row[:, 10] * bz
+    u = row[11] * bx + row[13] * by + row[9] * bz
+    v = row[12] * bx + row[14] * by + row[10] * bz
 
-    mat = _bitcast_i32(row[:, 15])
-    mrow = sa.mat_rows[mat]
-    toff = _bitcast_i32(mrow[:, 3])
-    tw = jnp.maximum(_bitcast_i32(mrow[:, 4]), 1)
-    th = jnp.maximum(_bitcast_i32(mrow[:, 5]), 1)
+    mat = _bitcast_i32(row[15])
+    mrow = sa.mat_rows[mat].T
+    toff = _bitcast_i32(mrow[3])
+    tw = jnp.maximum(_bitcast_i32(mrow[4]), 1)
+    th = jnp.maximum(_bitcast_i32(mrow[5]), 1)
     has_tex = toff >= 0
     if not bilinear:
         iu = jnp.floor(u * tw).astype(jnp.int32) % tw
@@ -196,13 +201,13 @@ def shade_point(sa: ShadeArrays,
             (c00[k] * (1 - fu) + c10[k] * fu) * (1 - fv)
             + (c01[k] * (1 - fu) + c11[k] * fu) * fv
             for k in range(3))
-    cr = jnp.where(has_tex, tr, mrow[:, 0])
-    cg = jnp.where(has_tex, tg, mrow[:, 1])
-    cb = jnp.where(has_tex, tb, mrow[:, 2])
+    cr = jnp.where(has_tex, tr, mrow[0])
+    cg = jnp.where(has_tex, tg, mrow[1])
+    cb = jnp.where(has_tex, tb, mrow[2])
 
     return ShadePoint(px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz, u=u, v=v,
                       color_r=cr, color_g=cg, color_b=cb,
-                      reflectivity=irow[:, 9], mat=mat, tri=tri, inst=inst,
+                      reflectivity=irow[9], mat=mat, tri=tri, inst=inst,
                       lit=jnp.ones_like(px))
 
 

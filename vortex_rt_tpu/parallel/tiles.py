@@ -259,3 +259,18 @@ def dryrun(n_devices: int) -> None:
     err, worst, where = sample_pixel_parity(sb2, cam2, params2, w2, h2,
                                             img3, n=24, seed=5)
     assert err < 5e-3, f"multi-chip parity rmse {err} (worst {worst} at {where})"
+
+    # ---- scene-sharded path (docs/SCENE_SHARDING.md steps 1-3): the
+    # same scene split over sp=2 shards x dp=n/2 row blocks; the sharded
+    # image must match the replicated one bit-for-tolerance (the combine
+    # reproduces the single-chip tie-break exactly) ----
+    if n_devices >= 2 and n_devices % 2 == 0:
+        from vortex_rt_tpu.parallel.shards import render_sharded
+
+        img4, total4 = render_sharded(sc2, cam2, params2, w2, h2,
+                                      n_shards=2)
+        assert img4.shape == (h2, w2, 3), img4.shape
+        assert np.isfinite(img4).all()
+        assert total4 >= h2 * w2, total4
+        derr = float(np.sqrt(((img4 - img3) ** 2).mean()))
+        assert derr < 1e-5, f"sharded vs replicated rmse {derr}"

@@ -60,6 +60,11 @@ class RTConfig:
                                 # round-2 whole-pool measurements (smaller
                                 # packets = tighter visit unions; the B
                                 # axis still saturates the VPU)
+    bounce_packet: int = 32    # packet size for bounce (k>0) waves:
+                                # diffuse-bounce directions are incoherent
+                                # and a packet walks its rays' UNION path,
+                                # so bounce waves want tighter packets
+                                # (0 = per-ray engine for bounce waves)
     queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
                                 # — enforced by the RTU facade: bounded
                                 # queues with lossless overflow spill
