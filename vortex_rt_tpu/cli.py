@@ -31,7 +31,7 @@ def build_scene(model: str):
         sc.add_mesh(uv_sphere((0, 0, 0), 1.0, 24, 48))
     elif model == "soup":
         sc.add_mesh(random_soup(np.random.default_rng(0), 2000))
-    elif model in ("bunny", "atrium", "waves"):
+    elif model in ("bunny", "atrium", "atrium_tex", "waves"):
         # BASELINE scale-ladder stand-ins (the reference tree is missing
         # Sponza/sponza.obj and has no bunny asset — see models.bigscenes)
         from vortex_rt_tpu.models import bigscenes
@@ -40,6 +40,10 @@ def build_scene(model: str):
             sc.add_mesh(bigscenes.blob(n=187))
         elif model == "atrium":
             for mesh, refl in bigscenes.atrium():
+                sc.add_instance(sc.add_mesh(mesh), reflectivity=refl)
+        elif model == "atrium_tex":
+            # the reference's shipped textures through the asset path
+            for mesh, refl in bigscenes.textured_atrium():
                 sc.add_instance(sc.add_mesh(mesh), reflectivity=refl)
         else:
             sc.add_mesh(bigscenes.wavy_grid())

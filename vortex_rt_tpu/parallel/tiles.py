@@ -258,7 +258,10 @@ def dryrun(n_devices: int) -> None:
 
     err, worst, where = sample_pixel_parity(sb2, cam2, params2, w2, h2,
                                             img3, n=24, seed=5)
-    assert err < 5e-3, f"multi-chip parity rmse {err} (worst {worst} at {where})"
+    # same gate as the single-chip suite (tests/test_scale.py) — the
+    # sharded program reproduces the single-chip tie-break exactly, so
+    # there is no reason for a looser threshold (VERDICT r2 weak #8)
+    assert err < 3e-3, f"multi-chip parity rmse {err} (worst {worst} at {where})"
 
     # ---- scene-sharded path (docs/SCENE_SHARDING.md steps 1-3): the
     # same scene split over sp=2 shards x dp=n/2 row blocks; the sharded

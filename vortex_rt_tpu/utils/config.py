@@ -54,12 +54,13 @@ class RTConfig:
                                 # analog): packet groups of lanes/packet_size
                                 # packets exit their loops independently,
                                 # capping lockstep waste (measured sweep)
-    packet_size: int = 128      # rays per traversal packet (0 = per-ray
-                                # engine); packets share one node walk —
-                                # 128 with 16x8 tiles swept best in the
-                                # round-2 whole-pool measurements (smaller
-                                # packets = tighter visit unions; the B
-                                # axis still saturates the VPU)
+    packet_size: int = 256      # rays per traversal packet (0 = per-ray
+                                # engine); packets share one node walk.
+                                # Round-3 sweep on the slab-major frame:
+                                # 256 w/ 16x16 tiles = 48.4 ms/frame vs
+                                # 54-59 for 64/128 at 512x512 spp2 d2
+                                # (coherent waves amortize the walk over
+                                # more rays; VPU stays full either way)
     bounce_packet: int = 32    # packet size for bounce (k>0) waves:
                                 # diffuse-bounce directions are incoherent
                                 # and a packet walks its rays' UNION path,
@@ -77,8 +78,10 @@ class RTConfig:
     tex_filter: str = "point"   # 'point' (texSample) or 'bilinear'
                                 # (texSampleBi, raycast/render.h:8-56)
     tile_w: int = 16            # pixel tile per packet (the reference maps
-    tile_h: int = 8             # 8x8 blocks to cores, kernel.cpp:128-133;
-                                # tile_w*tile_h should equal packet_size)
+    tile_h: int = 16            # 8x8 blocks to cores, kernel.cpp:128-133;
+                                # tile_w*tile_h should equal packet_size;
+                                # frame_body adapts tile_h down (8/4/2)
+                                # when the frame height doesn't divide)
 
     # ---- numerics ----
     epsilon: float = MT_EPSILON
