@@ -1,0 +1,80 @@
+"""Pallas scalar-node-walk vs XLA packet engine (the SURVEY §2.7 7/8
+experiment).  Traces identical primary rays with both engines and
+reports ms + Mrays/s; hit parity is asserted before timing.
+
+Usage: python tools/bench_pallas.py [--width 512] [--height 512]
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from vortex_rt_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=20)
+    a = ap.parse_args()
+
+    from bench import bench_scene
+    from vortex_rt_tpu.models.scene import Camera
+    from vortex_rt_tpu.ops.pallas.packet_walk import (
+        P, trace_packets_pallas, vmem_bytes,
+    )
+    from vortex_rt_tpu.ops.traverse_packet import trace_packets
+    from vortex_rt_tpu.ops.traverse_wide import WideArrays
+
+    sb = bench_scene()
+    wa = WideArrays.from_scene(sb)
+    print(f"tris={sb.num_tris} scene_vmem={vmem_bytes(wa)/1e6:.1f} MB",
+          flush=True)
+    cam = Camera.look_at([0.05, 0.02, -3.2], [0.0, -0.05, 0.0], [0, 1, 0],
+                         45.0, a.width / a.height)
+    n = a.width * a.height
+    ii = np.arange(n)
+    px = (ii % a.width + 0.5) / a.width - 0.5
+    py = (ii // a.width + 0.5) / a.height - 0.5
+    fwd = np.asarray(cam.forward)
+    right = np.asarray(cam.right)
+    up = np.asarray(cam.up)
+    vp = np.asarray(cam.viewplane)
+    d = px[:, None] * vp[0] * right + py[:, None] * vp[1] * up + fwd
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o = np.broadcast_to(np.asarray(cam.pos, np.float32), d.shape).copy()
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    def timeit(fn, label):
+        h, st = fn()            # compile
+        jax.block_until_ready(h.dist)
+        float(np.asarray(h.dist).sum())  # force sync (axon)
+        t0 = time.perf_counter()
+        for _ in range(a.reps):
+            h, st = fn()
+        float(np.asarray(h.dist).sum())
+        dt = (time.perf_counter() - t0) / a.reps
+        print(f"{label}: {dt*1e3:.2f} ms  {n/dt/1e6:.1f} Mrays/s "
+              f"steps={int(jnp.sum(st))}", flush=True)
+        return h
+
+    hx = timeit(lambda: trace_packets(wa, o, d, packet=256), "xla pk256")
+    hp = timeit(lambda: trace_packets_pallas(wa, o, d), f"pallas P={P}")
+    # parity
+    dx_, dp_ = np.asarray(hx.dist), np.asarray(hp.dist)
+    hit = dx_ < 1e29
+    agree = float(((dx_ < 1e29) == (dp_ < 1e29)).mean())
+    terr = float(np.abs(dx_[hit] - dp_[hit]).max()) if hit.any() else 0.0
+    print(f"parity: hit-agree={agree:.4f} max|dt|={terr:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
