@@ -53,21 +53,41 @@ def main():
     o = np.broadcast_to(np.asarray(cam.pos, np.float32), d.shape).copy()
     o, d = jnp.asarray(o), jnp.asarray(d)
 
-    def timeit(fn, label):
-        h, st = fn()            # compile
-        jax.block_until_ready(h.dist)
-        float(np.asarray(h.dist).sum())  # force sync (axon)
-        t0 = time.perf_counter()
-        for _ in range(a.reps):
-            h, st = fn()
-        float(np.asarray(h.dist).sum())
-        dt = (time.perf_counter() - t0) / a.reps
-        print(f"{label}: {dt*1e3:.2f} ms  {n/dt/1e6:.1f} Mrays/s "
-              f"steps={int(jnp.sum(st))}", flush=True)
-        return h
+    def timeit(fn, label, nonces=(0,)):
+        """Times fn(nonce) over the given compile-basin nonces and keeps
+        the best (the XLA while_loop's compile basin is nondeterministic,
+        ARCHITECTURE.md rule 13; the nonce perturbs the dead max_steps
+        bound to redraw it)."""
+        best = None
+        for nz in nonces:
+            h, st = fn(nz)      # compile
+            float(np.asarray(h.dist).sum())  # force sync (axon)
+            t0 = time.perf_counter()
+            for _ in range(a.reps):
+                h, st = fn(nz)
+            float(np.asarray(h.dist).sum())
+            dt = (time.perf_counter() - t0) / a.reps
+            print(f"{label} nonce={nz}: {dt*1e3:.2f} ms  "
+                  f"{n/dt/1e6:.1f} Mrays/s steps={int(jnp.sum(st))}",
+                  flush=True)
+            if best is None or dt < best[0]:
+                best = (dt, h)
+        return best[1]
 
-    hx = timeit(lambda: trace_packets(wa, o, d, packet=256), "xla pk256")
-    hp = timeit(lambda: trace_packets_pallas(wa, o, d), f"pallas P={P}")
+    from functools import lru_cache
+
+    @lru_cache
+    def _xla_jit(nz):
+        # one jit per nonce (trace_packets is not itself jitted; eager
+        # op-by-op dispatch on axon costs ~2.5 ms per op)
+        return jax.jit(lambda o_, d_: trace_packets(
+            wa, o_, d_, packet=256, max_steps=400_000 + nz))
+
+    hx = timeit(lambda nz: _xla_jit(nz)(o, d), "xla pk256",
+                nonces=(0, 1, 2))
+    hp = timeit(lambda nz: trace_packets_pallas(wa, o, d,
+                                                max_steps=200_000 + nz),
+                f"pallas P={P}")
     # parity
     dx_, dp_ = np.asarray(hx.dist), np.asarray(hp.dist)
     hit = dx_ < 1e29

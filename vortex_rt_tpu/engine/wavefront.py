@@ -261,7 +261,7 @@ def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
 def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                    alive, max_depth, shadow, bilinear, packet, chunk,
                    tune_nonce, slab, stage_limit=None, collect_stats=False,
-                   trace_fn=None, bounce_packet=None):
+                   trace_fn=None, bounce_packet=None, pallas_waves="off"):
     """The bounce pipeline over one lane set (trace + shadow occlusion +
     shade + spawn, max_depth waves).  Works at any lane count: the
     slab-major frame maps it over VMEM-sized groups (every intermediate

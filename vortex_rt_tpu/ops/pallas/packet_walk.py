@@ -58,18 +58,26 @@ P = SUB * LANE   # rays per packet
 
 
 def vmem_bytes(wa: WideArrays) -> int:
-    return int(wa.nodes.size * 4 + wa.tri_rows.size * 4)
+    # x2: each table is passed twice (u32/f32 + f32/i32 views — Mosaic
+    # has no scalar bitcast, so the kernel reads the right-typed view)
+    return 2 * int(wa.nodes.size * 4 + wa.tri_rows.size * 4)
 
 
-def _walk_kernel(nodes_ref, rows_ref, ox_ref, oy_ref, oz_ref,
-                 dx_ref, dy_ref, dz_ref,
+def _walk_kernel(nodes_ref, nodes_f_ref, rows_ref, rows_i_ref,
+                 ox_ref, oy_ref, oz_ref,
+                 dx_ref, dy_ref, dz_ref, tmax_ref,
                  dist_ref, bx_ref, by_ref, tri_ref, inst_ref, steps_ref,
                  stack_ref, num_tlas: int, n_nodes: int, n_rows: int,
-                 max_steps: int):
+                 max_steps: int, occlusion: bool):
     eps = jnp.float32(MT_EPSILON)
 
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    # best_t doubles as the per-ray liveness/clamp register (the XLA
+    # engine's mechanism, traverse_packet.py): inactive lanes enter with
+    # t_max = -1, so their slab tests (tmin < best_t) never pass; in
+    # occlusion mode a hit drops best_t to -1, retiring the ray.
+    limit = tmax_ref[0]
 
     def rcp(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
@@ -95,27 +103,30 @@ def _walk_kernel(nodes_ref, rows_ref, ox_ref, oy_ref, oz_ref,
         riy = jnp.where(in_tlas, ivy, liy)
         riz = jnp.where(in_tlas, ivz, liz)
 
-        def f32(w):
-            # scalar bitcast (pltpu.bitcast needs >=2D)
-            return jax.lax.bitcast_convert_type(w, jnp.float32)
-
+        # float fields come from the f32 VIEW of the same table —
+        # Mosaic has no scalar bitcast (tpu.bitcast is vector-only)
         def internal(_):
-            gx = f32(nodes_ref[node_c, 0])
-            gy = f32(nodes_ref[node_c, 1])
-            gz = f32(nodes_ref[node_c, 2])
-            sx = f32(nodes_ref[node_c, 3])
-            sy = f32(nodes_ref[node_c, 4])
-            sz = f32(nodes_ref[node_c, 5])
+            gx = nodes_f_ref[node_c, 0]
+            gy = nodes_f_ref[node_c, 1]
+            gz = nodes_f_ref[node_c, 2]
+            sx = nodes_f_ref[node_c, 3]
+            sy = nodes_f_ref[node_c, 4]
+            sz = nodes_f_ref[node_c, 5]
             dists = []
             for c in range(4):
                 ql = nodes_ref[node_c, 6 + c]
                 qh = nodes_ref[node_c, 10 + c]
-                lx = gx + (ql & 255).astype(jnp.float32) * sx
-                ly = gy + ((ql >> 8) & 255).astype(jnp.float32) * sy
-                lz = gz + ((ql >> 16) & 255).astype(jnp.float32) * sz
-                hx = gx + (qh & 255).astype(jnp.float32) * sx
-                hy = gy + ((qh >> 8) & 255).astype(jnp.float32) * sy
-                hz = gz + ((qh >> 16) & 255).astype(jnp.float32) * sz
+                # Mosaic has no u32 -> f32 cast; byte fields go via i32
+                def qb(w, sh):
+                    return ((w >> sh) & 255).astype(jnp.int32) \
+                        .astype(jnp.float32)
+
+                lx = gx + qb(ql, 0) * sx
+                ly = gy + qb(ql, 8) * sy
+                lz = gz + qb(ql, 16) * sz
+                hx = gx + qb(qh, 0) * sx
+                hy = gy + qb(qh, 8) * sy
+                hz = gz + qb(qh, 16) * sz
                 t1x = (lx - rox) * rix
                 t2x = (hx - rox) * rix
                 t1y = (ly - roy) * riy
@@ -170,8 +181,7 @@ def _walk_kernel(nodes_ref, rows_ref, ox_ref, oy_ref, oz_ref,
                 e2x = rows_ref[row_i, b0 + 6]
                 e2y = rows_ref[row_i, b0 + 7]
                 e2z = rows_ref[row_i, b0 + 8]
-                tid = jax.lax.bitcast_convert_type(
-                    rows_ref[row_i, b0 + 9], jnp.int32)
+                tid = rows_i_ref[row_i, b0 + 9]
                 hx_ = ldy * e2z - ldz * e2y
                 hy_ = ldz * e2x - ldx * e2z
                 hz_ = ldx * e2y - ldy * e2x
@@ -190,18 +200,23 @@ def _walk_kernel(nodes_ref, rows_ref, ox_ref, oy_ref, oz_ref,
                       & (w2 >= 0.0) & (w1 + w2 <= 1.0) & (t > eps)
                       & (c < leaf_data))
                 t = jnp.where(ok, t, LARGE_FLOAT)
-                better = (t < t_b) | ((t == t_b) & (t < LARGE_FLOAT)
-                                      & (tid < tri_b))
-                t_b = jnp.where(better, t, t_b)
-                bx_b = jnp.where(better, w1, bx_b)
-                by_b = jnp.where(better, w2, by_b)
-                tri_b = jnp.where(better, tid, tri_b)
-                bi_b = jnp.where(better, inst, bi_b)
+                if occlusion:
+                    # first hit inside the clamp retires the ray
+                    # (rt_unit.cpp:190-213 ACCEPT-and-stop semantics)
+                    t_b = jnp.where(t < t_b, jnp.float32(-1.0), t_b)
+                else:
+                    better = (t < t_b) | ((t == t_b) & (t < LARGE_FLOAT)
+                                          & (tid < tri_b))
+                    t_b = jnp.where(better, t, t_b)
+                    bx_b = jnp.where(better, w1, bx_b)
+                    by_b = jnp.where(better, w2, by_b)
+                    tri_b = jnp.where(better, tid, tri_b)
+                    bi_b = jnp.where(better, inst, bi_b)
             return node, scount, jnp.bool_(False), inst, lox, loy, loz, \
                 ldx, ldy, ldz, lix, liy, liz, t_b, bx_b, by_b, tri_b, bi_b
 
         def instance(_):
-            mm = [f32(nodes_ref[node_c, 16 + k]) for k in range(12)]
+            mm = [nodes_f_ref[node_c, 16 + k] for k in range(12)]
             nlox = mm[0] * ox + mm[1] * oy + mm[2] * oz + mm[3]
             nloy = mm[4] * ox + mm[5] * oy + mm[6] * oz + mm[7]
             nloz = mm[8] * ox + mm[9] * oy + mm[10] * oz + mm[11]
@@ -226,6 +241,9 @@ def _walk_kernel(nodes_ref, rows_ref, ox_ref, oy_ref, oz_ref,
         sc3 = jnp.where(do_pop, sc2 - 1, sc2)
         alive2 = jnp.logical_and(alive,
                                  jnp.logical_or(descended, can_pop))
+        if occlusion:
+            # packet exits once every live ray is retired (or inactive)
+            alive2 = jnp.logical_and(alive2, jnp.any(bt2 > 0.0))
         return (nxt, sc3, steps + 1, lox2, loy2, loz2, ldx2, ldy2, ldz2,
                 lix2, liy2, liz2, inst2, bt2, bx2, by2, tri2, bi2, alive2)
 
@@ -234,27 +252,38 @@ def _walk_kernel(nodes_ref, rows_ref, ox_ref, oy_ref, oz_ref,
 
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
             ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, jnp.int32(0),
-            jnp.full((SUB, LANE), LARGE_FLOAT), jnp.zeros((SUB, LANE)),
+            limit, jnp.zeros((SUB, LANE)),
             jnp.zeros((SUB, LANE)), jnp.full((SUB, LANE), 2**31 - 1,
                                              jnp.int32),
-            jnp.zeros((SUB, LANE), jnp.int32), jnp.bool_(True))
+            jnp.zeros((SUB, LANE), jnp.int32), jnp.any(limit > 0.0))
     final = jax.lax.while_loop(cond, body, init)
     dist_ref[0] = final[13]
     bx_ref[0] = final[14]
     by_ref[0] = final[15]
     tri_ref[0] = final[16]
     inst_ref[0] = final[17]
-    steps_ref[0, 0] = final[2]
+    # steps as a full (8, 128) tile: Mosaic rejects sub-(8,128) output
+    # blocks, and one broadcast store per packet is noise
+    steps_ref[0] = jnp.full((SUB, LANE), final[2], jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("max_steps", "interpret"))
+@partial(jax.jit, static_argnames=("max_steps", "occlusion", "interpret"))
 def trace_packets_pallas(wa: WideArrays, o: jnp.ndarray, d: jnp.ndarray,
+                         active=None, t_max=None,
+                         occlusion: bool = False,
                          max_steps: int = 200_000,
                          interpret: bool = False):
-    """Closest-hit trace of (R, 3) rays; R must divide by P=1024.
+    """Closest-hit (or any-hit occlusion) trace of (R, 3) rays; R must
+    divide by P=1024.
 
     One Mosaic program per packet: scalar node walk + kind-switched
-    step (see module docstring).  Scene tables must fit in VMEM."""
+    step (see module docstring).  Scene tables must fit in VMEM.
+
+    Mirrors ops.traverse_packet.trace_packets semantics: ``active``
+    masks dead lanes (they report miss), ``t_max`` clamps the search
+    interval, and ``occlusion=True`` retires a ray at its FIRST hit
+    inside the clamp — occluded rays return dist=0.0, unoccluded
+    LARGE_FLOAT (rt_unit.cpp:190-213 ACCEPT-and-stop)."""
     assert HAVE_PALLAS, "Pallas TPU backend unavailable"
     r = o.shape[0]
     assert r % P == 0, f"ray count must be a multiple of {P}"
@@ -263,23 +292,29 @@ def trace_packets_pallas(wa: WideArrays, o: jnp.ndarray, d: jnp.ndarray,
     n_rows = int(wa.tri_rows.shape[0])
     stack_n = 3 * (int(wa.depth) + 2) + 8
 
+    limit = (jnp.full(r, LARGE_FLOAT) if t_max is None
+             else t_max.astype(jnp.float32))
+    if active is not None:
+        limit = jnp.where(active, limit, -1.0)
+
     def split(a):  # (R,) -> (B, SUB, LANE)
         return a.reshape(b, SUB, LANE)
 
     kern = partial(_walk_kernel, num_tlas=int(wa.num_tlas),
-                   n_nodes=n_nodes, n_rows=n_rows, max_steps=max_steps)
+                   n_nodes=n_nodes, n_rows=n_rows, max_steps=max_steps,
+                   occlusion=occlusion)
     outs = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (u32)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (f32 view)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows (f32)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows (i32 view)
         ] + [pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)] * 6,
+                          memory_space=pltpu.VMEM)] * 7,
         out_specs=[pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)] * 5
-        + [pl.BlockSpec((1, 1), lambda i: (i, 0),
-                        memory_space=pltpu.SMEM)],
+                                memory_space=pltpu.VMEM)] * 6,
         interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((b, SUB, LANE), jnp.float32),
@@ -287,17 +322,32 @@ def trace_packets_pallas(wa: WideArrays, o: jnp.ndarray, d: jnp.ndarray,
             jax.ShapeDtypeStruct((b, SUB, LANE), jnp.float32),
             jax.ShapeDtypeStruct((b, SUB, LANE), jnp.int32),
             jax.ShapeDtypeStruct((b, SUB, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, SUB, LANE), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
-    )(wa.nodes, wa.tri_rows,
+    )(wa.nodes,
+      jax.lax.bitcast_convert_type(wa.nodes, jnp.float32),
+      wa.tri_rows,
+      jax.lax.bitcast_convert_type(wa.tri_rows, jnp.int32),
       split(o[:, 0]), split(o[:, 1]), split(o[:, 2]),
-      split(d[:, 0]), split(d[:, 1]), split(d[:, 2]))
+      split(d[:, 0]), split(d[:, 1]), split(d[:, 2]), split(limit))
 
     dist, bx, by, tri, inst, steps = outs
+    steps = steps[:, 0, 0]
     flat = lambda a: a.reshape(r)
-    miss = dist >= LARGE_FLOAT
-    return Hits(dist=flat(dist), bx=flat(bx), by=flat(by),
+    if occlusion:
+        on = split(limit) > 0.0
+        occluded = on & (dist < 0.0)
+        dflat = flat(jnp.where(occluded, 0.0, LARGE_FLOAT))
+        return Hits(dist=dflat, bx=flat(bx), by=flat(by),
+                    bz=flat(1.0 - bx - by),
+                    tri=flat(jnp.zeros_like(tri)),
+                    inst=flat(inst)), steps.sum()
+    # a real hit is strictly inside the clamp; unhit rays still carry
+    # their initial t_max and must report miss (traverse_packet.py)
+    miss = (dist < 0.0) | (dist >= split(limit))
+    return Hits(dist=flat(jnp.where(miss, LARGE_FLOAT, dist)),
+                bx=flat(bx), by=flat(by),
                 bz=flat(1.0 - bx - by),
                 tri=flat(jnp.where(miss, 0, tri)),
                 inst=flat(inst)), steps.sum()

@@ -69,6 +69,12 @@ class RTConfig:
     queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
                                 # — enforced by the RTU facade: bounded
                                 # queues with lossless overflow spill
+    pallas_waves: str = "off"   # which waves use the Mosaic scalar-node-
+                                # walk kernel (ops/pallas/packet_walk):
+                                # 'off' | 'coherent' (primary + shadow
+                                # occlusion waves) | 'all'.  Needs a real
+                                # TPU backend and the scene tables to fit
+                                # VMEM (~6 MB after the dual dtype views)
 
     # ---- render parameters (kernel_arg_t analog, raytracing/common.h:164) ----
     width: int = 256
