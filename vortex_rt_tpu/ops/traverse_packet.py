@@ -16,11 +16,25 @@ SIMD packet transform (Wald-style ray packets, re-shaped for the TPU):
   strictly closer than that ray's own best hit.  This per-ray-pruned
   visit set is time-varying, which is UNSOUND combined with trail
   restarts (the trail counts "k closest visited" against an order that
-  would have shifted by the revisit).  Restarts only happen on short-
-  stack overflow — so the per-packet stack is statically sized to the
-  worst case (3 pushes per level x tree depth), overflow cannot occur,
-  every node is entered exactly once, and pruning is sound.  Packet
-  state is (B,) lanes, so a deep stack costs almost nothing;
+  would have shifted by the revisit).  The per-packet stack is
+  therefore statically sized to the worst case (one word per tree
+  level, see below): overflow cannot occur, restarts never happen,
+  every node is entered exactly once, and pruning is sound.  With
+  restarts impossible the reference's restart trail
+  (rt_traversal.cpp:170-213) is dead machinery and is NOT carried —
+  the plain stack DFS visits the identical node sequence;
+* the stack packs each node's <=3 deferred children into ONE i32 word
+  (left_first << 8 | count << 6 | sorted slot ids in 3x2 bits), so a
+  descend costs one shift-register push of ~depth words instead of
+  three pushes of 3*depth entries, and 2 of every 3 pops rewrite the
+  top word in place (count-1, nearest-first order preserved).  The XLA
+  while_loop body is bound by op COUNT, not FLOPs (each op on small
+  (B,)/(B,P) operands pays a fixed dispatch/relayout cost), so stack +
+  trail ops were the single largest line item of the old body;
+* the WIDTH child slab tests and the per-leaf Moller-Trumbore tests
+  run as single (WIDTH,B,P)/(L,B,P) batched ops (one op chain over the
+  stacked axis instead of WIDTH/L unrolled chains) for the same
+  op-count reason;
 * leaves run Moller-Trumbore for every ray in the packet against the
   leaf's triangles (same packed leaf rows as the per-ray engine).
 
@@ -46,9 +60,8 @@ import numpy as np
 from vortex_rt_tpu.accel import qbvh
 from vortex_rt_tpu.ops.traverse2 import Hits
 from vortex_rt_tpu.ops.traverse_wide import (
-    ID_MASK, LAST_FLAG, WIDTH, WideArrays, _INT_MAX, _LEFT_BITS, _LEFT_MASK,
+    WIDTH, WideArrays, _INT_MAX, _LEFT_BITS, _LEFT_MASK,
     _MISS, _at_pos, _bitcast_f32, _bitcast_i32, _rcp_lane,
-    trail_clear_above, trail_find_parent, trail_get, trail_set,
 )
 
 
@@ -125,11 +138,13 @@ def trace_packets(
     assert r % p == 0, "ray count must be a multiple of the packet size"
     b = r // p
     n_pool = int(wa.nodes.shape[0])
+    # packed-stack word layout: left_first << 8 | count << 6 | 3x2b slots
+    assert n_pool < (1 << 23), "node pool exceeds packed-stack id budget"
     n_leaf_rows = int(wa.tri_rows.shape[0])
     lmax = max(int(wa.max_leaf_tris), 1)
     eps = jnp.float32(MT_EPSILON)
-    # overflow-proof stack: up to WIDTH-1 pushes per descended level
-    stack_n = (WIDTH - 1) * (int(wa.depth) + 2) + 4
+    # overflow-proof stack: one deferred-children word per descended level
+    stack_n = int(wa.depth) + 4
 
     def l2(x):  # (R,) -> (B, P)
         return x.reshape(b, p)
@@ -143,15 +158,18 @@ def trace_packets(
              else l2(t_max.astype(jnp.float32)))
 
     zi = jnp.zeros(b, jnp.int32)
-    zu = jnp.zeros(b, jnp.uint32)
     state = dict(
-        node=zi, level=zi,
-        trail=(zu,) * 8,
+        node=zi,
         stack=(zi,) * stack_n, scount=zi,
         inst=zi,
         lox=ox, loy=oy, loz=oz, ldx=dx, ldy=dy, ldz=dz,
         lix=ivx, liy=ivy, liz=ivz,
-        best_t=jnp.where(ray_on, limit, -1.0),
+        # dead lanes carry best_t = -LARGE_FLOAT (not -1): best_t doubles
+        # as the liveness register in the slab test (tmin < best_t), and
+        # real tmin values can sit far below -1 (origin deep inside a
+        # large box) — this is what lets the loop body drop every ray_on
+        # read (dead lanes fail all best_t comparisons by construction)
+        best_t=jnp.where(ray_on, limit, -LARGE_FLOAT),
         bx=jnp.zeros((b, p), jnp.float32),
         by=jnp.zeros((b, p), jnp.float32),
         tri=jnp.zeros((b, p), jnp.int32),
@@ -183,7 +201,7 @@ def trace_packets(
         is_tri = act & (kind == qbvh.KIND_TRIS)
         is_ins = act & (kind == qbvh.KIND_INSTANCE)
         in_tlas = (node < wa.num_tlas)[:, None]
-        trail, stack, scount = s["trail"], s["stack"], s["scount"]
+        stack, scount = s["stack"], s["scount"]
 
         rox = jnp.where(in_tlas, ox, s["lox"])
         roy = jnp.where(in_tlas, oy, s["loy"])
@@ -192,40 +210,47 @@ def trace_packets(
         riy = jnp.where(in_tlas, ivy, s["liy"])
         riz = jnp.where(in_tlas, ivz, s["liz"])
 
-        # ---- internal: packet-vs-children slab tests ----
-        gx, gy, gz = (_bitcast_f32(rowt[0])[:, None],
-                      _bitcast_f32(rowt[1])[:, None],
-                      _bitcast_f32(rowt[2])[:, None])
-        sx, sy, sz = (_bitcast_f32(rowt[3])[:, None],
-                      _bitcast_f32(rowt[4])[:, None],
-                      _bitcast_f32(rowt[5])[:, None])
-        dists, idxs = [], []
-        for c in range(WIDTH):
-            ql = rowt[6 + c][:, None]
-            qh = rowt[10 + c][:, None]
-            lx = gx + (ql & 255).astype(jnp.float32) * sx
-            ly = gy + ((ql >> 8) & 255).astype(jnp.float32) * sy
-            lz = gz + ((ql >> 16) & 255).astype(jnp.float32) * sz
-            hx = gx + (qh & 255).astype(jnp.float32) * sx
-            hy = gy + ((qh >> 8) & 255).astype(jnp.float32) * sy
-            hz = gz + ((qh >> 16) & 255).astype(jnp.float32) * sz
-            t1x = (lx - rox) * rix; t2x = (hx - rox) * rix
-            t1y = (ly - roy) * riy; t2y = (hy - roy) * riy
-            t1z = (lz - roz) * riz; t2z = (hz - roz) * riz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z))
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z))
-            # per-ray prune is sound here because the overflow-proof
-            # stack guarantees no trail restarts (see module docstring)
-            hc = ((tmax >= tmin) & (tmax > 0.0) & (tmin < s["best_t"])
-                  & ray_on)
-            any_hit = jnp.any(hc, axis=1) & (c < nch)
-            pd = jnp.min(jnp.where(hc, tmin, LARGE_FLOAT), axis=1)
-            dists.append(jnp.where(any_hit, pd, _MISS))
-            idxs.append(jnp.full(b, c, jnp.int32))
+        # ---- internal: batched packet-vs-children slab tests ----
+        # all WIDTH children in one (C, B, P) op chain (op count, not
+        # FLOPs, bounds the loop body — see module docstring)
+        gx, gy, gz = (_bitcast_f32(rowt[0]), _bitcast_f32(rowt[1]),
+                      _bitcast_f32(rowt[2]))            # (B,)
+        sx, sy, sz = (_bitcast_f32(rowt[3]), _bitcast_f32(rowt[4]),
+                      _bitcast_f32(rowt[5]))
+        qlc = jnp.stack([rowt[6 + c] for c in range(WIDTH)])     # (C, B)
+        qhc = jnp.stack([rowt[10 + c] for c in range(WIDTH)])
+
+        def corner(q, sh, g, sc):  # (C, B) packed bytes -> (C, B, 1)
+            f = ((q >> sh) & 255).astype(jnp.float32) if sh else \
+                (q & 255).astype(jnp.float32)
+            return (g[None] + f * sc[None])[:, :, None]
+
+        lx = corner(qlc, 0, gx, sx); hx = corner(qhc, 0, gx, sx)
+        ly = corner(qlc, 8, gy, sy); hy = corner(qhc, 8, gy, sy)
+        lz = corner(qlc, 16, gz, sz); hz = corner(qhc, 16, gz, sz)
+        t1x = (lx - rox[None]) * rix[None]
+        t2x = (hx - rox[None]) * rix[None]
+        t1y = (ly - roy[None]) * riy[None]
+        t2y = (hy - roy[None]) * riy[None]
+        t1z = (lz - roz[None]) * riz[None]
+        t2z = (hz - roz[None]) * riz[None]
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z))
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z))
+        # per-ray prune is sound here because the overflow-proof
+        # stack guarantees no trail restarts (see module docstring);
+        # dead/retired lanes fail tmin < best_t (= -LARGE_FLOAT)
+        hc = (tmax >= tmin) & (tmax > 0.0) & (tmin < s["best_t"][None])
+        any_hit = (jnp.any(hc, axis=2)
+                   & (jnp.arange(WIDTH, dtype=jnp.int32)[:, None]
+                      < nch[None]))                     # (C, B)
+        pd = jnp.min(jnp.where(hc, tmin, LARGE_FLOAT), axis=2)
+        pdm = jnp.where(any_hit, pd, _MISS)
+        dists = [pdm[c] for c in range(WIDTH)]
+        idxs = [jnp.full(b, c, jnp.int32) for c in range(WIDTH)]
         m = sum((dd > _MISS).astype(jnp.int32) for dd in dists)
 
         # far -> near by packet-min entry distance (desc sorting network)
@@ -238,24 +263,21 @@ def trace_packets(
             idxs[a_i] = jnp.where(swap, ib, ia)
             idxs[b_i] = jnp.where(swap, ia, ib)
 
-        k_tr = trail_get(trail, s["level"])
-        drop = jnp.where(k_tr == WIDTH, jnp.maximum(m - 1, 0),
-                         jnp.minimum(k_tr, m))
-        remaining = m - drop
-        pos_closest = m - 1 - drop
-        descend = is_int & (remaining >= 1)
-        want_pop_int = is_int & (remaining < 1)
+        pos_closest = m - 1
+        descend = is_int & (m >= 1)
+        want_pop_int = is_int & (m < 1)
         child_slot = _at_pos(idxs, pos_closest)
         next_int = left + child_slot
-        push_entries = [
-            (descend & (pos_closest >= 1), (left + idxs[0]) | LAST_FLAG),
-            (descend & (pos_closest >= 2), left + idxs[1]),
-            (descend & (pos_closest >= 3), left + idxs[2]),
-        ]
-        for pm, pe in push_entries:
-            stack, scount = _stack_push_n(stack, scount, pe, pm)
-        trail = trail_set(trail, s["level"], jnp.full(b, WIDTH, jnp.int32),
-                          descend & (remaining == 1))
+        # defer the other m-1 children in ONE packed word (near-first
+        # pop order: field (count-1) is read first = idxs[m-2], the
+        # nearest deferred child — identical visit order to pushing
+        # far->near entries individually)
+        cnt_def = jnp.clip(m - 1, 0, 3)
+        word = ((left << 8) | (cnt_def << 6)
+                | (idxs[0] & 3) | ((idxs[1] & 3) << 2)
+                | ((idxs[2] & 3) << 4))
+        stack, scount = _stack_push_n(stack, scount, word,
+                                      descend & (cnt_def >= 1))
 
         # ---- instance leaf: whole packet swaps into object space ----
         mm = [_bitcast_f32(rowt[16 + k])[:, None] for k in range(12)]
@@ -278,52 +300,63 @@ def trace_packets(
         liz = jnp.where(em, _rcp_lane(nldz), s["liz"])
         next_ins = _bitcast_i32(rowt[28])
 
-        # ---- triangle leaf: every ray vs the leaf's triangles ----
+        # ---- triangle leaf: batched Moller-Trumbore over leaf slots ----
+        # all lmax triangles in one (L, B, P) op chain; the winner fold
+        # below is lmax cheap (B, P) compare/select steps
         lrowt = wa.tri_rows[jnp.clip(left, 0, n_leaf_rows - 1)].T  # (C, B)
         cnt = leaf_data
+
+        def lf(k):  # leaf field k across slots -> (L, B, 1)
+            return jnp.stack([lrowt[16 * c + k]
+                              for c in range(lmax)])[:, :, None]
+
+        v0x, v0y, v0z = lf(0), lf(1), lf(2)
+        e1x, e1y, e1z = lf(3), lf(4), lf(5)
+        e2x, e2y, e2z = lf(6), lf(7), lf(8)
+        tid = jnp.stack([_bitcast_i32(lrowt[16 * c + 9])
+                         for c in range(lmax)])          # (L, B)
+        ld_x, ld_y, ld_z = ldx_[None], ldy_[None], ldz_[None]
+        hx_ = ld_y * e2z - ld_z * e2y
+        hy_ = ld_z * e2x - ld_x * e2z
+        hz_ = ld_x * e2y - ld_y * e2x
+        a = e1x * hx_ + e1y * hy_ + e1z * hz_
+        fba = 1.0 / jnp.where(jnp.abs(a) < eps, 1.0, a)
+        sx_ = lox[None] - v0x
+        sy_ = loy[None] - v0y
+        sz_ = loz[None] - v0z
+        w1 = fba * (sx_ * hx_ + sy_ * hy_ + sz_ * hz_)
+        qx = sy_ * e1z - sz_ * e1y
+        qy = sz_ * e1x - sx_ * e1z
+        qz = sx_ * e1y - sy_ * e1x
+        w2 = fba * (ld_x * qx + ld_y * qy + ld_z * qz)
+        t = fba * (e2x * qx + e2y * qy + e2z * qz)
+        ok = ((jnp.abs(a) >= eps) & (w1 >= 0.0) & (w1 <= 1.0)
+              & (w2 >= 0.0) & (w1 + w2 <= 1.0) & (t > eps)
+              & (jnp.arange(lmax, dtype=jnp.int32)[:, None, None]
+                 < cnt[None, :, None])
+              & is_tri[None, :, None])
+        t = jnp.where(ok, t, LARGE_FLOAT)                # (L, B, P)
         t_min = jnp.full((b, p), LARGE_FLOAT)
         tid_sel = jnp.full((b, p), _INT_MAX)
         w1_sel = jnp.zeros((b, p), jnp.float32)
         w2_sel = jnp.zeros((b, p), jnp.float32)
         for c in range(lmax):
-            b0 = 16 * c
-            v0x, v0y, v0z = (lrowt[b0][:, None], lrowt[b0 + 1][:, None],
-                             lrowt[b0 + 2][:, None])
-            e1x, e1y, e1z = (lrowt[b0 + 3][:, None], lrowt[b0 + 4][:, None],
-                             lrowt[b0 + 5][:, None])
-            e2x, e2y, e2z = (lrowt[b0 + 6][:, None], lrowt[b0 + 7][:, None],
-                             lrowt[b0 + 8][:, None])
-            tid = _bitcast_i32(lrowt[b0 + 9])[:, None]
-            hx_ = ldy_ * e2z - ldz_ * e2y
-            hy_ = ldz_ * e2x - ldx_ * e2z
-            hz_ = ldx_ * e2y - ldy_ * e2x
-            a = e1x * hx_ + e1y * hy_ + e1z * hz_
-            fba = 1.0 / jnp.where(jnp.abs(a) < eps, 1.0, a)
-            sx_ = lox - v0x; sy_ = loy - v0y; sz_ = loz - v0z
-            w1 = fba * (sx_ * hx_ + sy_ * hy_ + sz_ * hz_)
-            qx = sy_ * e1z - sz_ * e1y
-            qy = sz_ * e1x - sx_ * e1z
-            qz = sx_ * e1y - sy_ * e1x
-            w2 = fba * (ldx_ * qx + ldy_ * qy + ldz_ * qz)
-            t = fba * (e2x * qx + e2y * qy + e2z * qz)
-            ok = ((jnp.abs(a) >= eps) & (w1 >= 0.0) & (w1 <= 1.0)
-                  & (w2 >= 0.0) & (w1 + w2 <= 1.0) & (t > eps)
-                  & (c < cnt)[:, None] & is_tri[:, None] & ray_on)
-            t = jnp.where(ok, t, LARGE_FLOAT)
-            tid_b = jnp.broadcast_to(tid, (b, p))
-            better = (t < t_min) | ((t == t_min) & (t < LARGE_FLOAT)
-                                    & (tid_b < tid_sel))
-            t_min = jnp.where(better, t, t_min)
+            tc = t[c]
+            tid_b = jnp.broadcast_to(tid[c][:, None], (b, p))
+            better = (tc < t_min) | ((tc == t_min) & (tc < LARGE_FLOAT)
+                                     & (tid_b < tid_sel))
+            t_min = jnp.where(better, tc, t_min)
             tid_sel = jnp.where(better, tid_b, tid_sel)
-            w1_sel = jnp.where(better, w1, w1_sel)
-            w2_sel = jnp.where(better, w2, w2_sel)
+            w1_sel = jnp.where(better, w1[c], w1_sel)
+            w2_sel = jnp.where(better, w2[c], w2_sel)
 
         inst_b = jnp.broadcast_to(inst[:, None], (b, p))
         if occlusion:
-            # any hit inside the clamp retires the ray: best_t <- -1 kills
-            # its slab tests, so it stops widening the packet union
-            occ_new = is_tri[:, None] & (t_min < s["best_t"]) & ray_on
-            best_t = jnp.where(occ_new, -1.0, s["best_t"])
+            # any hit inside the clamp retires the ray: best_t drops to
+            # -LARGE_FLOAT (the dead-lane value), killing its slab tests
+            # so it stops widening the packet union
+            occ_new = is_tri[:, None] & (t_min < s["best_t"])
+            best_t = jnp.where(occ_new, -LARGE_FLOAT, s["best_t"])
             bx, by = s["bx"], s["by"]
             tri, best_inst = s["tri"], s["best_inst"]
         else:
@@ -344,30 +377,26 @@ def trace_packets(
         # ---- next / pop (per packet) ----
         nxt = jnp.where(is_int, jnp.where(descend, next_int, s["node"]),
                         jnp.where(is_ins, next_ins, s["node"]))
-        level = jnp.where(descend, s["level"] + 1, s["level"])
         want_pop = want_pop_int | want_pop_tri
-        pl = trail_find_parent(trail, level)
-        dead = want_pop & (pl < 0)
-        do_pop = want_pop & (pl >= 0)
-        p_safe = jnp.maximum(pl, 0)
-        kp = trail_get(trail, p_safe)
-        trail = trail_set(trail, p_safe, kp + 1, do_pop)
-        trail = trail_clear_above(trail, p_safe, do_pop)
         empty = scount == 0
-        restart = do_pop & empty
-        from_stack = do_pop & ~empty
-        entry, stack, scount = _stack_pop_n(stack, scount, from_stack)
-        is_last = (entry & LAST_FLAG) != 0
-        trail = trail_set(trail, p_safe, jnp.full(b, WIDTH, jnp.int32),
-                          from_stack & is_last)
-        nxt = jnp.where(restart, 0,
-                        jnp.where(from_stack, entry & ID_MASK, nxt))
-        level = jnp.where(restart, 0,
-                          jnp.where(from_stack, p_safe + 1, level))
+        dead = want_pop & empty        # stack drained => walk complete
+        do_pop = want_pop & ~empty
+        top = stack[0]
+        c_top = (top >> 6) & 3
+        slot = (top >> (2 * jnp.maximum(c_top - 1, 0))) & 3
+        node_pop = (top >> 8) + slot
+        # 2 of 3 pops just decrement the top word's count field in place;
+        # the last child of a word pops the word off the shift register
+        partial = do_pop & (c_top > 1)
+        s0 = jnp.where(partial, top - 64, top)
+        stack = (s0,) + tuple(stack[1:])
+        _, stack, scount = _stack_pop_n(stack, scount,
+                                        do_pop & (c_top <= 1))
+        nxt = jnp.where(do_pop, node_pop, nxt)
 
         done = s["done"] | dead
         if occlusion:
-            done = done | ~jnp.any(ray_on & (best_t > 0.0), axis=1)
+            done = done | ~jnp.any(best_t > 0.0, axis=1)
         if stats:
             live = act.sum(dtype=jnp.int32)
             s["packet_steps"] = s["packet_steps"] + live
@@ -377,8 +406,7 @@ def trace_packets(
             s["int_steps"] = s["int_steps"] + is_int.sum(dtype=jnp.int32)
             s["tri_steps"] = s["tri_steps"] + is_tri.sum(dtype=jnp.int32)
             s["ins_steps"] = s["ins_steps"] + is_ins.sum(dtype=jnp.int32)
-        s.update(node=nxt, level=level, trail=trail, stack=stack,
-                 scount=scount, inst=inst,
+        s.update(node=nxt, stack=stack, scount=scount, inst=inst,
                  lox=lox, loy=loy, loz=loz, ldx=ldx_, ldy=ldy_, ldz=ldz_,
                  lix=lix, liy=liy, liz=liz,
                  best_t=best_t, bx=bx, by=by, tri=tri, best_inst=best_inst,
