@@ -22,9 +22,14 @@ import time
 NORTH_STAR_MRAYS = 200.0
 
 
-def bench_scene():
+def bench_scene(flatten: bool = True):
     """BASELINE.json config-2 ladder scene: Cornell box + reference teapot
-    asset (procedural sphere fallback), 512x512, 2 bounces, shadow rays."""
+    asset (procedural sphere fallback), 512x512, 2 bounces, shadow rays.
+
+    ``flatten`` bakes instance transforms into ONE world-space BVH
+    (RTConfig.flatten): no instance nodes or local-space lanes in the
+    traversal loop.  Hit ids/materials are preserved exactly; the golden
+    oracle sees the same flattened buffers, so parity gates still hold."""
     import os
 
     from vortex_rt_tpu.models.procedural import cornell_box, uv_sphere
@@ -49,7 +54,9 @@ def bench_scene():
     else:
         m = sc.add_mesh(uv_sphere((0, -0.3, 0), 0.35, 24, 48))
         sc.add_instance(m)
-    return sc.build()
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    return sc.build(RTConfig(flatten=flatten))
 
 
 def main() -> None:

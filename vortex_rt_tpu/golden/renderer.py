@@ -69,8 +69,13 @@ def brute_force_hits(o: np.ndarray, d: np.ndarray, sb: SceneBuffers,
         inv = sb.inst_inv_transform[inst]
         lo = vm.transform_point(inv, o)  # (R, 3) local-space origin
         ld = vm.transform_vector(inv, d)  # unnormalized: preserves t parameter
-        root = int(sb.inst_bvh_root[inst])
-        tri_ids = np.sort(_tris_under(sb, root))
+        if getattr(sb, "flat", False):
+            # flattened build: every inst_bvh_root is the shared tree;
+            # the instance's triangles come from the tri_inst map
+            tri_ids = np.nonzero(sb.tri_inst == inst)[0]
+        else:
+            root = int(sb.inst_bvh_root[inst])
+            tri_ids = np.sort(_tris_under(sb, root))
         for s in range(0, tri_ids.size, chunk):
             ids = tri_ids[s : s + chunk]
             t, w1, w2 = moller_trumbore_np(

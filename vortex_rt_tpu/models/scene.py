@@ -215,6 +215,13 @@ class SceneBuffers:
     tlas_left: np.ndarray; tlas_count: np.ndarray           # (K,) i32
     tlas_inst_idx: np.ndarray                                # (I,) i32
 
+    # flattened build (RTConfig.flatten): geometry is world-space, every
+    # instance transform is identity, bvh_* is ONE tree over all tris,
+    # and tri_inst maps each global tri to its owning instance
+    flat: bool = dataclasses.field(default=False,
+                                   metadata=dict(static=True))
+    tri_inst: Optional[np.ndarray] = None                    # (T,) i32
+
     @property
     def num_tris(self) -> int:
         return int(self.v0.shape[0])
@@ -254,6 +261,31 @@ class Scene:
             for i in range(len(self._meshes)):
                 self.add_instance(i)
 
+        meshes, instances = self._meshes, self._instances
+        if cfg.flatten:
+            # bake every instance transform into a world-space mesh copy
+            # (identity transforms downstream, so the golden oracle's
+            # object-space math is bit-identical to world-space); one
+            # instance per mesh, in instance order
+            ident = vm.mat4_identity()
+            meshes, instances = [], []
+            for mi, T, refl in self._instances:
+                m = self._meshes[mi]
+                if np.array_equal(T, ident):
+                    meshes.append(m)
+                else:
+                    inv = vm.mat4_inverse(T)
+                    nmat = inv[:3, :3]  # rows: n' = n @ inv = (inv^T) n
+                    meshes.append(dataclasses.replace(
+                        m,
+                        v0=vm.transform_point(T, m.v0),
+                        v1=vm.transform_point(T, m.v1),
+                        v2=vm.transform_point(T, m.v2),
+                        n0=(m.n0 @ nmat).astype(np.float32),
+                        n1=(m.n1 @ nmat).astype(np.float32),
+                        n2=(m.n2 @ nmat).astype(np.float32)))
+                instances.append((len(meshes) - 1, ident, refl))
+
         # ---- pack triangle + material + texture buffers with offsets ----
         tri_arrays = {k: [] for k in
                       ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2")}
@@ -263,7 +295,7 @@ class Scene:
         mat_tex = []  # (offset, w, h) per material
         mesh_tri_offset, mesh_mat_offset = [], []
         tri_cursor = mat_cursor = 0
-        for mesh in self._meshes:
+        for mesh in meshes:
             mesh_tri_offset.append(tri_cursor)
             mesh_mat_offset.append(mat_cursor)
             for k in tri_arrays:
@@ -281,36 +313,57 @@ class Scene:
             tri_cursor += mesh.num_tris
             mat_cursor += len(mesh.materials)
 
-        # ---- per-mesh BLAS builds into one node pool ----
-        node_pools: List[BVH2] = []
-        mesh_bvh_root = []
-        node_cursor = 0
-        for mi, mesh in enumerate(self._meshes):
+        tri_inst = None
+        if cfg.flatten:
+            # ---- ONE world-space BLAS over every instance's triangles
+            # (instances are 1:1 with meshes here, transforms identity) ----
+            allv0 = np.concatenate(tri_arrays["v0"]).astype(np.float32)
+            allv1 = np.concatenate(tri_arrays["v1"]).astype(np.float32)
+            allv2 = np.concatenate(tri_arrays["v2"]).astype(np.float32)
             b = build_bvh2_auto(
-                mesh.v0, mesh.v1, mesh.v2,
+                allv0, allv1, allv2,
                 max_leaf_tris=cfg.max_leaf_tris, sah_bins=cfg.sah_bins,
                 prefer_native=cfg.use_native_build)
-            mesh_bvh_root.append(node_cursor)
-            node_pools.append(b)
-            node_cursor += b.num_nodes
+            bvh_min, bvh_max = b.node_min, b.node_max
+            bvh_left = b.left_first.astype(np.int32)
+            bvh_count = b.tri_count
+            bvh_tri_idx = b.tri_idx.astype(np.int32)
+            mesh_bvh_root = [0] * len(meshes)
+            tri_inst = np.concatenate([
+                np.full(meshes[mi].num_tris, i, np.int32)
+                for i, (mi, _, _) in enumerate(instances)])
+        else:
+            # ---- per-mesh BLAS builds into one node pool ----
+            node_pools: List[BVH2] = []
+            mesh_bvh_root = []
+            node_cursor = 0
+            for mi, mesh in enumerate(meshes):
+                b = build_bvh2_auto(
+                    mesh.v0, mesh.v1, mesh.v2,
+                    max_leaf_tris=cfg.max_leaf_tris, sah_bins=cfg.sah_bins,
+                    prefer_native=cfg.use_native_build)
+                mesh_bvh_root.append(node_cursor)
+                node_pools.append(b)
+                node_cursor += b.num_nodes
 
-        bvh_min = np.concatenate([b.node_min for b in node_pools])
-        bvh_max = np.concatenate([b.node_max for b in node_pools])
-        # rebase child links by node offset; leaf first-slots and tri ids by
-        # the mesh's global tri offset
-        lefts, counts, tri_perm = [], [], []
-        for b, noff, toff in zip(node_pools, mesh_bvh_root, mesh_tri_offset):
-            internal = b.tri_count == 0
-            lefts.append(np.where(internal, b.left_first + noff,
-                                  b.left_first + toff).astype(np.int32))
-            counts.append(b.tri_count)
-            tri_perm.append(b.tri_idx + toff)
-        bvh_left = np.concatenate(lefts)
-        bvh_count = np.concatenate(counts)
-        bvh_tri_idx = np.concatenate(tri_perm).astype(np.int32)
+            bvh_min = np.concatenate([b.node_min for b in node_pools])
+            bvh_max = np.concatenate([b.node_max for b in node_pools])
+            # rebase child links by node offset; leaf first-slots and tri
+            # ids by the mesh's global tri offset
+            lefts, counts, tri_perm = [], [], []
+            for b, noff, toff in zip(node_pools, mesh_bvh_root,
+                                     mesh_tri_offset):
+                internal = b.tri_count == 0
+                lefts.append(np.where(internal, b.left_first + noff,
+                                      b.left_first + toff).astype(np.int32))
+                counts.append(b.tri_count)
+                tri_perm.append(b.tri_idx + toff)
+            bvh_left = np.concatenate(lefts)
+            bvh_count = np.concatenate(counts)
+            bvh_tri_idx = np.concatenate(tri_perm).astype(np.int32)
 
         # ---- instances ----
-        n_inst = len(self._instances)
+        n_inst = len(instances)
         inst_T = np.zeros((n_inst, 4, 4), np.float32)
         inst_invT = np.zeros((n_inst, 4, 4), np.float32)
         inst_invTt = np.zeros((n_inst, 4, 4), np.float32)
@@ -318,7 +371,7 @@ class Scene:
         inst_root = np.zeros(n_inst, np.int32)
         inst_amin = np.zeros((n_inst, 3), np.float32)
         inst_amax = np.zeros((n_inst, 3), np.float32)
-        for i, (mi, T, refl) in enumerate(self._instances):
+        for i, (mi, T, refl) in enumerate(instances):
             inv = vm.mat4_inverse(T)
             inst_T[i] = T
             inst_invT[i] = inv
@@ -326,7 +379,7 @@ class Scene:
             inst_refl[i] = refl
             inst_root[i] = mesh_bvh_root[mi]
             # world AABB from the 8 transformed local corners (bvh.cpp:291-314)
-            lo, hi = self._meshes[mi].aabb()
+            lo, hi = meshes[mi].aabb()
             corners = vm.transform_point(T, vm.aabb_corners(lo, hi))
             inst_amin[i] = corners.min(0)
             inst_amax[i] = corners.max(0)
@@ -375,6 +428,8 @@ class Scene:
             tlas_left=tlas.left_first.astype(np.int32),
             tlas_count=tlas.tri_count.astype(np.int32),
             tlas_inst_idx=tlas.tri_idx.astype(np.int32),
+            flat=bool(cfg.flatten),
+            tri_inst=tri_inst,
         )
 
     def arrange_around_y(self, margin: float = 0.0) -> None:

@@ -137,6 +137,12 @@ def trace_packets(
     p = int(packet)
     assert r % p == 0, "ray count must be a multiple of the packet size"
     b = r // p
+    # flattened-scene fast path (WideArrays.tri_bits): no TLAS/instance
+    # nodes exist, so the loop drops the 9 local-space lanes + inst
+    # state entirely (~40% of per-ray loop bytes) and the instance
+    # branch; leaf tids arrive packed (inst << tri_bits) | tri, whose
+    # i32 compare IS the (inst, tri) lexicographic tie-break
+    flat = wa.num_tlas == 0 and wa.tri_bits > 0
     n_pool = int(wa.nodes.shape[0])
     # packed-stack word layout: left_first << 8 | count << 6 | 3x2b slots
     assert n_pool < (1 << 23), "node pool exceeds packed-stack id budget"
@@ -161,9 +167,13 @@ def trace_packets(
     state = dict(
         node=zi,
         stack=(zi,) * stack_n, scount=zi,
-        inst=zi,
-        lox=ox, loy=oy, loz=oz, ldx=dx, ldy=dy, ldz=dz,
-        lix=ivx, liy=ivy, liz=ivz,
+    )
+    if not flat:
+        state.update(
+            inst=zi,
+            lox=ox, loy=oy, loz=oz, ldx=dx, ldy=dy, ldz=dz,
+            lix=ivx, liy=ivy, liz=ivz)
+    state.update(
         # dead lanes carry best_t = -LARGE_FLOAT (not -1): best_t doubles
         # as the liveness register in the slab test (tmin < best_t), and
         # real tmin values can sit far below -1 (origin deep inside a
@@ -173,10 +183,11 @@ def trace_packets(
         bx=jnp.zeros((b, p), jnp.float32),
         by=jnp.zeros((b, p), jnp.float32),
         tri=jnp.zeros((b, p), jnp.int32),
-        best_inst=jnp.zeros((b, p), jnp.int32),
         done=~jnp.any(ray_on, axis=1),
         steps=jnp.int32(0),
     )
+    if not flat:
+        state.update(best_inst=jnp.zeros((b, p), jnp.int32))
     if stats:
         state.update(packet_steps=jnp.int32(0), ray_steps=jnp.int32(0),
                      int_steps=jnp.int32(0), tri_steps=jnp.int32(0),
@@ -199,16 +210,20 @@ def trace_packets(
         leaf_data = _bitcast_i32(rowt[15])
         is_int = act & (kind == qbvh.KIND_INTERNAL)
         is_tri = act & (kind == qbvh.KIND_TRIS)
-        is_ins = act & (kind == qbvh.KIND_INSTANCE)
-        in_tlas = (node < wa.num_tlas)[:, None]
         stack, scount = s["stack"], s["scount"]
 
-        rox = jnp.where(in_tlas, ox, s["lox"])
-        roy = jnp.where(in_tlas, oy, s["loy"])
-        roz = jnp.where(in_tlas, oz, s["loz"])
-        rix = jnp.where(in_tlas, ivx, s["lix"])
-        riy = jnp.where(in_tlas, ivy, s["liy"])
-        riz = jnp.where(in_tlas, ivz, s["liz"])
+        if flat:
+            is_ins = jnp.zeros(b, bool)
+            rox, roy, roz, rix, riy, riz = ox, oy, oz, ivx, ivy, ivz
+        else:
+            is_ins = act & (kind == qbvh.KIND_INSTANCE)
+            in_tlas = (node < wa.num_tlas)[:, None]
+            rox = jnp.where(in_tlas, ox, s["lox"])
+            roy = jnp.where(in_tlas, oy, s["loy"])
+            roz = jnp.where(in_tlas, oz, s["loz"])
+            rix = jnp.where(in_tlas, ivx, s["lix"])
+            riy = jnp.where(in_tlas, ivy, s["liy"])
+            riz = jnp.where(in_tlas, ivz, s["liz"])
 
         # ---- internal: batched packet-vs-children slab tests ----
         # all WIDTH children in one (C, B, P) op chain (op count, not
@@ -279,26 +294,30 @@ def trace_packets(
         stack, scount = _stack_push_n(stack, scount, word,
                                       descend & (cnt_def >= 1))
 
-        # ---- instance leaf: whole packet swaps into object space ----
-        mm = [_bitcast_f32(rowt[16 + k])[:, None] for k in range(12)]
-        nlox = mm[0] * ox + mm[1] * oy + mm[2] * oz + mm[3]
-        nloy = mm[4] * ox + mm[5] * oy + mm[6] * oz + mm[7]
-        nloz = mm[8] * ox + mm[9] * oy + mm[10] * oz + mm[11]
-        nldx = mm[0] * dx + mm[1] * dy + mm[2] * dz
-        nldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
-        nldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
-        em = is_ins[:, None]
-        inst = jnp.where(is_ins, left, s["inst"])
-        lox = jnp.where(em, nlox, s["lox"])
-        loy = jnp.where(em, nloy, s["loy"])
-        loz = jnp.where(em, nloz, s["loz"])
-        ldx_ = jnp.where(em, nldx, s["ldx"])
-        ldy_ = jnp.where(em, nldy, s["ldy"])
-        ldz_ = jnp.where(em, nldz, s["ldz"])
-        lix = jnp.where(em, _rcp_lane(nldx), s["lix"])
-        liy = jnp.where(em, _rcp_lane(nldy), s["liy"])
-        liz = jnp.where(em, _rcp_lane(nldz), s["liz"])
-        next_ins = _bitcast_i32(rowt[28])
+        if flat:
+            lox, loy, loz = ox, oy, oz
+            ldx_, ldy_, ldz_ = dx, dy, dz
+        else:
+            # ---- instance leaf: whole packet swaps into object space ----
+            mm = [_bitcast_f32(rowt[16 + k])[:, None] for k in range(12)]
+            nlox = mm[0] * ox + mm[1] * oy + mm[2] * oz + mm[3]
+            nloy = mm[4] * ox + mm[5] * oy + mm[6] * oz + mm[7]
+            nloz = mm[8] * ox + mm[9] * oy + mm[10] * oz + mm[11]
+            nldx = mm[0] * dx + mm[1] * dy + mm[2] * dz
+            nldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
+            nldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
+            em = is_ins[:, None]
+            inst = jnp.where(is_ins, left, s["inst"])
+            lox = jnp.where(em, nlox, s["lox"])
+            loy = jnp.where(em, nloy, s["loy"])
+            loz = jnp.where(em, nloz, s["loz"])
+            ldx_ = jnp.where(em, nldx, s["ldx"])
+            ldy_ = jnp.where(em, nldy, s["ldy"])
+            ldz_ = jnp.where(em, nldz, s["ldz"])
+            lix = jnp.where(em, _rcp_lane(nldx), s["lix"])
+            liy = jnp.where(em, _rcp_lane(nldy), s["liy"])
+            liz = jnp.where(em, _rcp_lane(nldz), s["liz"])
+            next_ins = _bitcast_i32(rowt[28])
 
         # ---- triangle leaf: batched Moller-Trumbore over leaf slots ----
         # all lmax triangles in one (L, B, P) op chain; the winner fold
@@ -350,7 +369,6 @@ def trace_packets(
             w1_sel = jnp.where(better, w1[c], w1_sel)
             w2_sel = jnp.where(better, w2[c], w2_sel)
 
-        inst_b = jnp.broadcast_to(inst[:, None], (b, p))
         if occlusion:
             # any hit inside the clamp retires the ray: best_t drops to
             # -LARGE_FLOAT (the dead-lane value), killing its slab tests
@@ -358,25 +376,38 @@ def trace_packets(
             occ_new = is_tri[:, None] & (t_min < s["best_t"])
             best_t = jnp.where(occ_new, -LARGE_FLOAT, s["best_t"])
             bx, by = s["bx"], s["by"]
-            tri, best_inst = s["tri"], s["best_inst"]
+            tri = s["tri"]
+            if not flat:
+                best_inst = s["best_inst"]
         else:
             closer = is_tri[:, None] & (t_min < s["best_t"])
             tie = (is_tri[:, None] & (t_min == s["best_t"])
                    & (t_min < LARGE_FLOAT))
-            tie_better = tie & ((inst_b < s["best_inst"])
-                                | ((inst_b == s["best_inst"])
-                                   & (tid_sel < s["tri"])))
+            if flat:
+                # packed (inst << tri_bits) | tri compare IS the
+                # (inst, tri) lexicographic tie-break
+                tie_better = tie & (tid_sel < s["tri"])
+            else:
+                inst_b = jnp.broadcast_to(inst[:, None], (b, p))
+                tie_better = tie & ((inst_b < s["best_inst"])
+                                    | ((inst_b == s["best_inst"])
+                                       & (tid_sel < s["tri"])))
             upd = closer | tie_better
             best_t = jnp.where(upd, t_min, s["best_t"])
             bx = jnp.where(upd, w1_sel, s["bx"])
             by = jnp.where(upd, w2_sel, s["by"])
             tri = jnp.where(upd, tid_sel, s["tri"])
-            best_inst = jnp.where(upd, inst_b, s["best_inst"])
+            if not flat:
+                best_inst = jnp.where(upd, inst_b, s["best_inst"])
         want_pop_tri = is_tri
 
         # ---- next / pop (per packet) ----
-        nxt = jnp.where(is_int, jnp.where(descend, next_int, s["node"]),
-                        jnp.where(is_ins, next_ins, s["node"]))
+        if flat:
+            nxt = jnp.where(descend, next_int, s["node"])
+        else:
+            nxt = jnp.where(is_int,
+                            jnp.where(descend, next_int, s["node"]),
+                            jnp.where(is_ins, next_ins, s["node"]))
         want_pop = want_pop_int | want_pop_tri
         empty = scount == 0
         dead = want_pop & empty        # stack drained => walk complete
@@ -406,33 +437,41 @@ def trace_packets(
             s["int_steps"] = s["int_steps"] + is_int.sum(dtype=jnp.int32)
             s["tri_steps"] = s["tri_steps"] + is_tri.sum(dtype=jnp.int32)
             s["ins_steps"] = s["ins_steps"] + is_ins.sum(dtype=jnp.int32)
-        s.update(node=nxt, stack=stack, scount=scount, inst=inst,
-                 lox=lox, loy=loy, loz=loz, ldx=ldx_, ldy=ldy_, ldz=ldz_,
-                 lix=lix, liy=liy, liz=liz,
-                 best_t=best_t, bx=bx, by=by, tri=tri, best_inst=best_inst,
+        s.update(node=nxt, stack=stack, scount=scount,
+                 best_t=best_t, bx=bx, by=by, tri=tri,
                  done=done, steps=s["steps"] + 1)
+        if not flat:
+            s.update(inst=inst, lox=lox, loy=loy, loz=loz,
+                     ldx=ldx_, ldy=ldy_, ldz=ldz_,
+                     lix=lix, liy=liy, liz=liz, best_inst=best_inst)
         return [s[k] for k in keys]
 
     final = dict(zip(keys, jax.lax.while_loop(
         cond, body, [state[k] for k in keys])))
 
-    def flat(x):
+    def reshape_r(x):
         return x.reshape(r)
 
     if occlusion:
         occluded = ray_on & (final["best_t"] < 0.0)
-        dist = flat(jnp.where(occluded, 0.0, LARGE_FLOAT))
+        dist = reshape_r(jnp.where(occluded, 0.0, LARGE_FLOAT))
     else:
         # a real hit is strictly inside the clamp; unhit rays still carry
         # their initial t_max and must report miss
-        dist = flat(jnp.where((final["best_t"] < 0)
-                              | (final["best_t"] >= limit),
-                              LARGE_FLOAT, final["best_t"]))
+        dist = reshape_r(jnp.where((final["best_t"] < 0)
+                                   | (final["best_t"] >= limit),
+                                   LARGE_FLOAT, final["best_t"]))
+    if flat:
+        # unpack (inst << tri_bits) | tri (miss lanes carry 0 -> (0, 0))
+        tri_out = final["tri"] & ((1 << wa.tri_bits) - 1)
+        inst_out = final["tri"] >> wa.tri_bits
+    else:
+        tri_out, inst_out = final["tri"], final["best_inst"]
     hits = Hits(
         dist=dist,
-        bx=flat(final["bx"]), by=flat(final["by"]),
-        bz=flat(1.0 - final["bx"] - final["by"]),
-        tri=flat(final["tri"]), inst=flat(final["best_inst"]),
+        bx=reshape_r(final["bx"]), by=reshape_r(final["by"]),
+        bz=reshape_r(1.0 - final["bx"] - final["by"]),
+        tri=reshape_r(tri_out), inst=reshape_r(inst_out),
     )
     if stats:
         return hits, PacketStats(

@@ -91,6 +91,10 @@ class WideArrays:
     num_tlas: int = dataclasses.field(metadata=dict(static=True))
     max_leaf_tris: int = dataclasses.field(metadata=dict(static=True))
     depth: int = dataclasses.field(metadata=dict(static=True))
+    # flattened build (SceneBuffers.flat): no TLAS/instance nodes; leaf
+    # tids pack (inst << tri_bits) | tri.  0 = TLAS mode (unpacked ids)
+    tri_bits: int = dataclasses.field(default=0,
+                                      metadata=dict(static=True))
 
     # ---- host-side unpacked views (tests / debugging) ----
     @property
@@ -138,38 +142,68 @@ class WideArrays:
 
     @staticmethod
     def from_scene(sb: SceneBuffers) -> "WideArrays":
-        # wide TLAS over the binary TLAS (leaves -> instance ids)
-        wt = qbvh.collapse_flat(
-            sb.tlas_min, sb.tlas_max, sb.tlas_left, sb.tlas_count,
-            roots=[0], leaf_kind=qbvh.KIND_INSTANCE,
-            leaf_payload=sb.tlas_inst_idx,
-        )
-        # wide BLAS pool over the packed per-mesh binary trees
-        mesh_roots = sorted(set(int(r) for r in sb.inst_bvh_root))
-        wb = qbvh.collapse_flat(
-            sb.bvh_min, sb.bvh_max, sb.bvh_left, sb.bvh_count,
-            roots=mesh_roots, leaf_kind=qbvh.KIND_TRIS,
-        )
-        k = wt.num_nodes
-        root_of = {r: int(wb.roots[i]) + k for i, r in enumerate(mesh_roots)}
-        inst_root = np.asarray(
-            [root_of[int(r)] for r in sb.inst_bvh_root], np.int32)
+        flat = bool(getattr(sb, "flat", False))
+        tri_bits = 0
+        if flat:
+            # flattened scene: ONE world-space BLAS, no TLAS/instance
+            # nodes; leaf tids pack (inst << tri_bits) | tri so hits
+            # keep per-instance material/shading ids
+            wb = qbvh.collapse_flat(
+                sb.bvh_min, sb.bvh_max, sb.bvh_left, sb.bvh_count,
+                roots=[0], leaf_kind=qbvh.KIND_TRIS,
+            )
+            k = 0
+            origin = wb.origin.astype(np.float32)
+            scale = wb.scale.astype(np.float32)
+            qlo = wb.qlo.astype(np.uint32)
+            qhi = wb.qhi.astype(np.uint32)
+            nchild = wb.nchild.astype(np.uint32)
+            kind = wb.kind.astype(np.uint32)
+            left = wb.left_first.astype(np.int64)
+            leaf = wb.leaf_data.astype(np.int64)
+            depth = int(wb.depth)
+            t = int(sb.v0.shape[0])
+            tri_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
+            n_inst = int(sb.inst_bvh_root.shape[0])
+            assert ((n_inst - 1) << tri_bits) | (t - 1) < (1 << 31), \
+                "inst << tri_bits exceeds the i32 leaf-id budget"
+            tid_pack = ((sb.tri_inst.astype(np.int64) << tri_bits)
+                        | np.arange(t, dtype=np.int64)).astype(np.int32)
+        else:
+            # wide TLAS over the binary TLAS (leaves -> instance ids)
+            wt = qbvh.collapse_flat(
+                sb.tlas_min, sb.tlas_max, sb.tlas_left, sb.tlas_count,
+                roots=[0], leaf_kind=qbvh.KIND_INSTANCE,
+                leaf_payload=sb.tlas_inst_idx,
+            )
+            # wide BLAS pool over the packed per-mesh binary trees
+            mesh_roots = sorted(set(int(r) for r in sb.inst_bvh_root))
+            wb = qbvh.collapse_flat(
+                sb.bvh_min, sb.bvh_max, sb.bvh_left, sb.bvh_count,
+                roots=mesh_roots, leaf_kind=qbvh.KIND_TRIS,
+            )
+            k = wt.num_nodes
+            root_of = {r: int(wb.roots[i]) + k
+                       for i, r in enumerate(mesh_roots)}
+            inst_root = np.asarray(
+                [root_of[int(r)] for r in sb.inst_bvh_root], np.int32)
 
-        def cat(a, b):
-            return np.concatenate([a, b])
+            def cat(a, b):
+                return np.concatenate([a, b])
 
-        origin = cat(wt.origin, wb.origin).astype(np.float32)
-        scale = cat(wt.scale, wb.scale).astype(np.float32)
-        qlo = cat(wt.qlo, wb.qlo).astype(np.uint32)
-        qhi = cat(wt.qhi, wb.qhi).astype(np.uint32)
-        nchild = cat(wt.nchild, wb.nchild).astype(np.uint32)
-        kind = cat(wt.kind, wb.kind).astype(np.uint32)
-        left = cat(
-            wt.left_first,
-            np.where(wb.kind == qbvh.KIND_INTERNAL,
-                     wb.left_first + k, wb.left_first),
-        ).astype(np.int64)
-        leaf = cat(wt.leaf_data, wb.leaf_data).astype(np.int64)
+            origin = cat(wt.origin, wb.origin).astype(np.float32)
+            scale = cat(wt.scale, wb.scale).astype(np.float32)
+            qlo = cat(wt.qlo, wb.qlo).astype(np.uint32)
+            qhi = cat(wt.qhi, wb.qhi).astype(np.uint32)
+            nchild = cat(wt.nchild, wb.nchild).astype(np.uint32)
+            kind = cat(wt.kind, wb.kind).astype(np.uint32)
+            left = cat(
+                wt.left_first,
+                np.where(wb.kind == qbvh.KIND_INTERNAL,
+                         wb.left_first + k, wb.left_first),
+            ).astype(np.int64)
+            leaf = cat(wt.leaf_data, wb.leaf_data).astype(np.int64)
+            depth = int(wt.depth + wb.depth)
         n = origin.shape[0]
 
         max_leaf = max(int(sb.bvh_count.max()), 1)
@@ -186,6 +220,7 @@ class WideArrays:
                         sb.bvh_tri_idx.shape[0] - 1)
         valid = np.arange(lmax)[None, :] < cnt[:, None]
         tid = sb.bvh_tri_idx[slots].astype(np.int32)
+        tid_out = tid_pack[tid] if flat else tid  # packed (inst|tri) ids
         v0 = sb.v0[tid]
         e1 = sb.v1[tid] - v0
         e2 = sb.v2[tid] - v0
@@ -199,7 +234,7 @@ class WideArrays:
             tri_rows[: len(leaf_ids), 16 * c + 3 : 16 * c + 6] = e1[:, c]
             tri_rows[: len(leaf_ids), 16 * c + 6 : 16 * c + 9] = e2[:, c]
             tri_rows[: len(leaf_ids), 16 * c + 9] = np.where(
-                valid[:, c], tid[:, c], -1).astype(np.int32).view(np.float32)
+                valid[:, c], tid_out[:, c], -1).astype(np.int32).view(np.float32)
         # rebase tri-leaf left_first to the leaf-row index
         leaf_row_of = np.zeros(n, np.int64)
         leaf_row_of[leaf_ids] = np.arange(len(leaf_ids))
@@ -218,14 +253,14 @@ class WideArrays:
         nodes[:, 14] = (left.astype(np.uint32)
                         | (nchild << _LEFT_BITS) | (kind << 29))
         nodes[:, 15] = leaf.astype(np.uint32)
-        # instance leaves carry their inverse transform + BLAS root inline
-        is_inst = kind == qbvh.KIND_INSTANCE
-        iids = left[is_inst].astype(np.int64)
-        nodes[is_inst, 16:28] = sb.inst_inv_transform[iids, :3, :].reshape(
-            -1, 12).astype(np.float32).view(np.uint32)
-        nodes[is_inst, 28] = inst_root[iids].view(np.uint32)
+        if not flat:
+            # instance leaves carry their inverse transform + BLAS root
+            is_inst = kind == qbvh.KIND_INSTANCE
+            iids = left[is_inst].astype(np.int64)
+            nodes[is_inst, 16:28] = sb.inst_inv_transform[iids, :3, :] \
+                .reshape(-1, 12).astype(np.float32).view(np.uint32)
+            nodes[is_inst, 28] = inst_root[iids].view(np.uint32)
 
-        depth = int(wt.depth + wb.depth)
         assert depth < 63, f"combined BVH depth {depth} exceeds trail budget"
 
         return WideArrays(
@@ -234,6 +269,7 @@ class WideArrays:
             num_tlas=int(k),
             max_leaf_tris=max_leaf,
             depth=depth,
+            tri_bits=tri_bits,
         )
 
 
@@ -456,6 +492,12 @@ def trace_lanes(
     t_max: float = LARGE_FLOAT,
 ) -> Tuple[Hits, WideState, PerfCounters]:
     """Lane-form entry point (see trace_rays_wide)."""
+    # flattened arrays pack (inst << tri_bits) | tri into leaf ids; the
+    # suspension/barrier protocol here presents tri ids to any-hit
+    # shaders mid-walk, which packed ids cannot survive — flat scenes
+    # must trace through the packet engine (no-anyhit pipelines only)
+    assert wa.tri_bits == 0, \
+        "flattened WideArrays require the packet engine (no any-hit)"
     r = ox.shape[0]
     if state is None:
         state = init_state_lanes(ox, oy, oz, dx, dy, dz, t_max)
