@@ -40,9 +40,10 @@ def _lbvh_structure_ok(nodes, tri_rows, leaf_size, t):
     kind = meta >> 29
     nch = (meta >> 26) & 7
     left = (meta & ((1 << 26) - 1)).astype(np.int64)
-    assert kind[0] == KIND_INSTANCE
+    # flat layout (no TLAS wrapper): the tree root sits at node 0
+    assert kind[0] in (KIND_INTERNAL, KIND_TRIS)
     covered = np.zeros(t, np.int32)
-    stack = [1]
+    stack = [0]
     seen = set()
     max_w = 0
     while stack:

@@ -46,12 +46,14 @@ def _cornell(with_teapot):
     from vortex_rt_tpu.models.procedural import cornell_box
     from vortex_rt_tpu.models.scene import Scene
 
+    from vortex_rt_tpu.utils.config import RTConfig
+
     if with_teapot:
         return bench_scene()
     sc = Scene()
     for mesh, refl in cornell_box():
         sc.add_instance(sc.add_mesh(mesh), reflectivity=refl)
-    return sc.build()
+    return sc.build(RTConfig(flatten=True))
 
 
 def _bench_burst(r, cam, params, w, h, draws, reps=2, n_hi=16, n_lo=4):
@@ -154,13 +156,17 @@ def _scale_cfg(num, scene, spp, depth, draws, lbvh=False):
     from vortex_rt_tpu.models import bigscenes
     from vortex_rt_tpu.models.scene import RenderParams, Scene
 
+    from vortex_rt_tpu.utils.config import RTConfig
+
     sc = Scene()
     if scene == "bunny":
         sc.add_instance(sc.add_mesh(bigscenes.blob(n=187)))
     else:
         for m, refl in bigscenes.atrium():
             sc.add_instance(sc.add_mesh(m), reflectivity=refl)
-    sb = sc.build()
+    # flat single-BVH build (the wavefront engine's production layout);
+    # config 3 swaps in the on-device LBVH (itself flat) below
+    sb = sc.build(RTConfig(flatten=True))
     rec = dict(config=num, scene=scene, tris=sb.num_tris, res="1920x1080",
                spp=spp, depth=depth, shadow=True, pathtrace=True)
     if lbvh:

@@ -126,7 +126,14 @@ def main(argv=None) -> int:
 
     enable_persistent_cache()
     sc = build_scene(args.model)
-    sb = sc.build()
+    # the wavefront device path traces the flattened single-BVH build
+    # (RTConfig.flatten): instance transforms baked at build time, no
+    # instance nodes in the traversal loop.  The megakernel engine and
+    # the golden oracle keep the TLAS layout they were written against.
+    flatten = args.engine == "wavefront" and not args.cpu
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    sb = sc.build(RTConfig(flatten=flatten))
     aspect = args.width / args.height
     cam = Scene.framing_camera(sb, args.vfov, aspect, zoom=1.0)
     params = RenderParams(spp=args.spp, max_depth=args.depth,

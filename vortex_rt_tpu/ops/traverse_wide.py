@@ -493,10 +493,11 @@ def trace_lanes(
 ) -> Tuple[Hits, WideState, PerfCounters]:
     """Lane-form entry point (see trace_rays_wide)."""
     # flattened arrays pack (inst << tri_bits) | tri into leaf ids; the
-    # suspension/barrier protocol here presents tri ids to any-hit
-    # shaders mid-walk, which packed ids cannot survive — flat scenes
-    # must trace through the packet engine (no-anyhit pipelines only)
-    assert wa.tri_bits == 0, \
+    # packed i32 compare IS the (inst, tri) lexicographic tie-break, so
+    # auto-accept traversal works unchanged (hits unpack at return).
+    # The suspension protocol, however, presents tri ids to any-hit
+    # shaders mid-walk — packed ids cannot survive that round trip
+    assert not (wa.tri_bits and suspend), \
         "flattened WideArrays require the packet engine (no any-hit)"
     r = ox.shape[0]
     if state is None:
@@ -754,10 +755,16 @@ def trace_lanes(
         )
 
     final = jax.lax.while_loop(cond, body, state)
+    if wa.tri_bits:
+        # unpack (inst << tri_bits) | tri (miss lanes carry 0 -> (0, 0))
+        tri_out = final.tri & ((1 << wa.tri_bits) - 1)
+        inst_out = final.tri >> wa.tri_bits
+    else:
+        tri_out, inst_out = final.tri, final.best_inst
     hits = Hits(
         dist=final.best_t,
         bx=final.bx, by=final.by, bz=1.0 - final.bx - final.by,
-        tri=final.tri, inst=final.best_inst,
+        tri=tri_out, inst=inst_out,
     )
     perf = PerfCounters(final.nodes_visited, final.tri_tests, final.steps)
     return hits, final, perf
