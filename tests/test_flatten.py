@@ -98,11 +98,21 @@ def test_flat_wavefront_matches_golden():
     assert e < 3e-3, e
 
 
-def test_flat_rejects_per_ray_engine():
+def test_flat_per_ray_engine_auto_accept():
+    """Auto-accept per-ray traversal works on flat arrays (packed-id
+    unpack at return); the suspension protocol must reject them (packed
+    ids cannot cross the mid-walk any-hit shader boundary)."""
     sc = _scene()
     sb_f = sc.build(RTConfig(flatten=True))
     wa_f = WideArrays.from_scene(sb_f)
     o, d = _rays(CAM, 8)
+    hp, _ = trace_packets(wa_f, o, d, packet=64)
+    hw, _, _ = trace_lanes(wa_f, o[:, 0], o[:, 1], o[:, 2],
+                           d[:, 0], d[:, 1], d[:, 2])
+    np.testing.assert_allclose(np.asarray(hw.dist), np.asarray(hp.dist))
+    np.testing.assert_array_equal(np.asarray(hw.tri), np.asarray(hp.tri))
+    np.testing.assert_array_equal(np.asarray(hw.inst),
+                                  np.asarray(hp.inst))
     with pytest.raises(AssertionError, match="packet engine"):
         trace_lanes(wa_f, o[:, 0], o[:, 1], o[:, 2],
-                    d[:, 0], d[:, 1], d[:, 2])
+                    d[:, 0], d[:, 1], d[:, 2], suspend=True)

@@ -189,265 +189,327 @@ def trace_packets(
     if not flat:
         state.update(best_inst=jnp.zeros((b, p), jnp.int32))
     if stats:
-        state.update(packet_steps=jnp.int32(0), ray_steps=jnp.int32(0),
+        # ray_steps accumulates live-ray counts per iteration and can
+        # exceed 2^31 on 1080p bounce waves — carried as f32 (indicative)
+        state.update(packet_steps=jnp.int32(0), ray_steps=jnp.float32(0),
                      int_steps=jnp.int32(0), tri_steps=jnp.int32(0),
                      ins_steps=jnp.int32(0))
     keys = list(state.keys())
+    inv = dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+               ivx=ivx, ivy=ivy, ivz=ivz, ray_on=ray_on)
 
-    def cond(sl):
-        s = dict(zip(keys, sl))
-        return jnp.logical_and(jnp.any(~s["done"]), s["steps"] < max_steps)
+    def _round(st0, iv, bb, target):
+        """One while_loop over ``bb`` packets; with ``target`` > 0 the
+        loop ALSO exits once <= target packets remain live (the driver
+        then compacts the live packets into a target-sized array).  The
+        enclosing-scope names are shadowed so the body below reads this
+        round's arrays."""
+        ox, oy, oz = iv["ox"], iv["oy"], iv["oz"]
+        dx, dy, dz = iv["dx"], iv["dy"], iv["dz"]
+        ivx, ivy, ivz = iv["ivx"], iv["ivy"], iv["ivz"]
+        ray_on = iv["ray_on"]
+        b = bb
 
-    def body(sl):
-        s = dict(zip(keys, sl))
-        act = ~s["done"]
-        node = jnp.clip(s["node"], 0, n_pool - 1)
-        rowt = wa.nodes[node].T                 # (32, B): tiny gather
-        meta = rowt[14]
-        kind = (meta >> 29).astype(jnp.int32)
-        nch = ((meta >> _LEFT_BITS) & 7).astype(jnp.int32)
-        left = (meta & _LEFT_MASK).astype(jnp.int32)
-        leaf_data = _bitcast_i32(rowt[15])
-        is_int = act & (kind == qbvh.KIND_INTERNAL)
-        is_tri = act & (kind == qbvh.KIND_TRIS)
-        stack, scount = s["stack"], s["scount"]
+        def cond(sl):
+            s = dict(zip(keys, sl))
+            go = jnp.logical_and(jnp.any(~s["done"]),
+                                 s["steps"] < max_steps)
+            if target:
+                go = jnp.logical_and(
+                    go, jnp.sum(~s["done"], dtype=jnp.int32) > target)
+            return go
 
-        if flat:
-            is_ins = jnp.zeros(b, bool)
-            rox, roy, roz, rix, riy, riz = ox, oy, oz, ivx, ivy, ivz
-        else:
-            is_ins = act & (kind == qbvh.KIND_INSTANCE)
-            in_tlas = (node < wa.num_tlas)[:, None]
-            rox = jnp.where(in_tlas, ox, s["lox"])
-            roy = jnp.where(in_tlas, oy, s["loy"])
-            roz = jnp.where(in_tlas, oz, s["loz"])
-            rix = jnp.where(in_tlas, ivx, s["lix"])
-            riy = jnp.where(in_tlas, ivy, s["liy"])
-            riz = jnp.where(in_tlas, ivz, s["liz"])
+        def body(sl):
+            s = dict(zip(keys, sl))
+            act = ~s["done"]
+            node = jnp.clip(s["node"], 0, n_pool - 1)
+            rowt = wa.nodes[node].T                 # (32, B): tiny gather
+            meta = rowt[14]
+            kind = (meta >> 29).astype(jnp.int32)
+            nch = ((meta >> _LEFT_BITS) & 7).astype(jnp.int32)
+            left = (meta & _LEFT_MASK).astype(jnp.int32)
+            leaf_data = _bitcast_i32(rowt[15])
+            is_int = act & (kind == qbvh.KIND_INTERNAL)
+            is_tri = act & (kind == qbvh.KIND_TRIS)
+            stack, scount = s["stack"], s["scount"]
 
-        # ---- internal: batched packet-vs-children slab tests ----
-        # all WIDTH children in one (C, B, P) op chain (op count, not
-        # FLOPs, bounds the loop body — see module docstring)
-        gx, gy, gz = (_bitcast_f32(rowt[0]), _bitcast_f32(rowt[1]),
-                      _bitcast_f32(rowt[2]))            # (B,)
-        sx, sy, sz = (_bitcast_f32(rowt[3]), _bitcast_f32(rowt[4]),
-                      _bitcast_f32(rowt[5]))
-        qlc = jnp.stack([rowt[6 + c] for c in range(WIDTH)])     # (C, B)
-        qhc = jnp.stack([rowt[10 + c] for c in range(WIDTH)])
-
-        def corner(q, sh, g, sc):  # (C, B) packed bytes -> (C, B, 1)
-            f = ((q >> sh) & 255).astype(jnp.float32) if sh else \
-                (q & 255).astype(jnp.float32)
-            return (g[None] + f * sc[None])[:, :, None]
-
-        lx = corner(qlc, 0, gx, sx); hx = corner(qhc, 0, gx, sx)
-        ly = corner(qlc, 8, gy, sy); hy = corner(qhc, 8, gy, sy)
-        lz = corner(qlc, 16, gz, sz); hz = corner(qhc, 16, gz, sz)
-        t1x = (lx - rox[None]) * rix[None]
-        t2x = (hx - rox[None]) * rix[None]
-        t1y = (ly - roy[None]) * riy[None]
-        t2y = (hy - roy[None]) * riy[None]
-        t1z = (lz - roz[None]) * riz[None]
-        t2z = (hz - roz[None]) * riz[None]
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.minimum(t1z, t2z))
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.maximum(t1z, t2z))
-        # per-ray prune is sound here because the overflow-proof
-        # stack guarantees no trail restarts (see module docstring);
-        # dead/retired lanes fail tmin < best_t (= -LARGE_FLOAT)
-        hc = (tmax >= tmin) & (tmax > 0.0) & (tmin < s["best_t"][None])
-        any_hit = (jnp.any(hc, axis=2)
-                   & (jnp.arange(WIDTH, dtype=jnp.int32)[:, None]
-                      < nch[None]))                     # (C, B)
-        pd = jnp.min(jnp.where(hc, tmin, LARGE_FLOAT), axis=2)
-        pdm = jnp.where(any_hit, pd, _MISS)
-        dists = [pdm[c] for c in range(WIDTH)]
-        idxs = [jnp.full(b, c, jnp.int32) for c in range(WIDTH)]
-        m = sum((dd > _MISS).astype(jnp.int32) for dd in dists)
-
-        # far -> near by packet-min entry distance (desc sorting network)
-        for a_i, b_i in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-            swap = dists[a_i] < dists[b_i]
-            da, db = dists[a_i], dists[b_i]
-            ia, ib = idxs[a_i], idxs[b_i]
-            dists[a_i] = jnp.where(swap, db, da)
-            dists[b_i] = jnp.where(swap, da, db)
-            idxs[a_i] = jnp.where(swap, ib, ia)
-            idxs[b_i] = jnp.where(swap, ia, ib)
-
-        pos_closest = m - 1
-        descend = is_int & (m >= 1)
-        want_pop_int = is_int & (m < 1)
-        child_slot = _at_pos(idxs, pos_closest)
-        next_int = left + child_slot
-        # defer the other m-1 children in ONE packed word (near-first
-        # pop order: field (count-1) is read first = idxs[m-2], the
-        # nearest deferred child — identical visit order to pushing
-        # far->near entries individually)
-        cnt_def = jnp.clip(m - 1, 0, 3)
-        word = ((left << 8) | (cnt_def << 6)
-                | (idxs[0] & 3) | ((idxs[1] & 3) << 2)
-                | ((idxs[2] & 3) << 4))
-        stack, scount = _stack_push_n(stack, scount, word,
-                                      descend & (cnt_def >= 1))
-
-        if flat:
-            lox, loy, loz = ox, oy, oz
-            ldx_, ldy_, ldz_ = dx, dy, dz
-        else:
-            # ---- instance leaf: whole packet swaps into object space ----
-            mm = [_bitcast_f32(rowt[16 + k])[:, None] for k in range(12)]
-            nlox = mm[0] * ox + mm[1] * oy + mm[2] * oz + mm[3]
-            nloy = mm[4] * ox + mm[5] * oy + mm[6] * oz + mm[7]
-            nloz = mm[8] * ox + mm[9] * oy + mm[10] * oz + mm[11]
-            nldx = mm[0] * dx + mm[1] * dy + mm[2] * dz
-            nldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
-            nldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
-            em = is_ins[:, None]
-            inst = jnp.where(is_ins, left, s["inst"])
-            lox = jnp.where(em, nlox, s["lox"])
-            loy = jnp.where(em, nloy, s["loy"])
-            loz = jnp.where(em, nloz, s["loz"])
-            ldx_ = jnp.where(em, nldx, s["ldx"])
-            ldy_ = jnp.where(em, nldy, s["ldy"])
-            ldz_ = jnp.where(em, nldz, s["ldz"])
-            lix = jnp.where(em, _rcp_lane(nldx), s["lix"])
-            liy = jnp.where(em, _rcp_lane(nldy), s["liy"])
-            liz = jnp.where(em, _rcp_lane(nldz), s["liz"])
-            next_ins = _bitcast_i32(rowt[28])
-
-        # ---- triangle leaf: batched Moller-Trumbore over leaf slots ----
-        # all lmax triangles in one (L, B, P) op chain; the winner fold
-        # below is lmax cheap (B, P) compare/select steps
-        lrowt = wa.tri_rows[jnp.clip(left, 0, n_leaf_rows - 1)].T  # (C, B)
-        cnt = leaf_data
-
-        def lf(k):  # leaf field k across slots -> (L, B, 1)
-            return jnp.stack([lrowt[16 * c + k]
-                              for c in range(lmax)])[:, :, None]
-
-        v0x, v0y, v0z = lf(0), lf(1), lf(2)
-        e1x, e1y, e1z = lf(3), lf(4), lf(5)
-        e2x, e2y, e2z = lf(6), lf(7), lf(8)
-        tid = jnp.stack([_bitcast_i32(lrowt[16 * c + 9])
-                         for c in range(lmax)])          # (L, B)
-        ld_x, ld_y, ld_z = ldx_[None], ldy_[None], ldz_[None]
-        hx_ = ld_y * e2z - ld_z * e2y
-        hy_ = ld_z * e2x - ld_x * e2z
-        hz_ = ld_x * e2y - ld_y * e2x
-        a = e1x * hx_ + e1y * hy_ + e1z * hz_
-        fba = 1.0 / jnp.where(jnp.abs(a) < eps, 1.0, a)
-        sx_ = lox[None] - v0x
-        sy_ = loy[None] - v0y
-        sz_ = loz[None] - v0z
-        w1 = fba * (sx_ * hx_ + sy_ * hy_ + sz_ * hz_)
-        qx = sy_ * e1z - sz_ * e1y
-        qy = sz_ * e1x - sx_ * e1z
-        qz = sx_ * e1y - sy_ * e1x
-        w2 = fba * (ld_x * qx + ld_y * qy + ld_z * qz)
-        t = fba * (e2x * qx + e2y * qy + e2z * qz)
-        ok = ((jnp.abs(a) >= eps) & (w1 >= 0.0) & (w1 <= 1.0)
-              & (w2 >= 0.0) & (w1 + w2 <= 1.0) & (t > eps)
-              & (jnp.arange(lmax, dtype=jnp.int32)[:, None, None]
-                 < cnt[None, :, None])
-              & is_tri[None, :, None])
-        t = jnp.where(ok, t, LARGE_FLOAT)                # (L, B, P)
-        t_min = jnp.full((b, p), LARGE_FLOAT)
-        tid_sel = jnp.full((b, p), _INT_MAX)
-        w1_sel = jnp.zeros((b, p), jnp.float32)
-        w2_sel = jnp.zeros((b, p), jnp.float32)
-        for c in range(lmax):
-            tc = t[c]
-            tid_b = jnp.broadcast_to(tid[c][:, None], (b, p))
-            better = (tc < t_min) | ((tc == t_min) & (tc < LARGE_FLOAT)
-                                     & (tid_b < tid_sel))
-            t_min = jnp.where(better, tc, t_min)
-            tid_sel = jnp.where(better, tid_b, tid_sel)
-            w1_sel = jnp.where(better, w1[c], w1_sel)
-            w2_sel = jnp.where(better, w2[c], w2_sel)
-
-        if occlusion:
-            # any hit inside the clamp retires the ray: best_t drops to
-            # -LARGE_FLOAT (the dead-lane value), killing its slab tests
-            # so it stops widening the packet union
-            occ_new = is_tri[:, None] & (t_min < s["best_t"])
-            best_t = jnp.where(occ_new, -LARGE_FLOAT, s["best_t"])
-            bx, by = s["bx"], s["by"]
-            tri = s["tri"]
-            if not flat:
-                best_inst = s["best_inst"]
-        else:
-            closer = is_tri[:, None] & (t_min < s["best_t"])
-            tie = (is_tri[:, None] & (t_min == s["best_t"])
-                   & (t_min < LARGE_FLOAT))
             if flat:
-                # packed (inst << tri_bits) | tri compare IS the
-                # (inst, tri) lexicographic tie-break
-                tie_better = tie & (tid_sel < s["tri"])
+                is_ins = jnp.zeros(b, bool)
+                rox, roy, roz, rix, riy, riz = ox, oy, oz, ivx, ivy, ivz
             else:
-                inst_b = jnp.broadcast_to(inst[:, None], (b, p))
-                tie_better = tie & ((inst_b < s["best_inst"])
-                                    | ((inst_b == s["best_inst"])
-                                       & (tid_sel < s["tri"])))
-            upd = closer | tie_better
-            best_t = jnp.where(upd, t_min, s["best_t"])
-            bx = jnp.where(upd, w1_sel, s["bx"])
-            by = jnp.where(upd, w2_sel, s["by"])
-            tri = jnp.where(upd, tid_sel, s["tri"])
+                is_ins = act & (kind == qbvh.KIND_INSTANCE)
+                in_tlas = (node < wa.num_tlas)[:, None]
+                rox = jnp.where(in_tlas, ox, s["lox"])
+                roy = jnp.where(in_tlas, oy, s["loy"])
+                roz = jnp.where(in_tlas, oz, s["loz"])
+                rix = jnp.where(in_tlas, ivx, s["lix"])
+                riy = jnp.where(in_tlas, ivy, s["liy"])
+                riz = jnp.where(in_tlas, ivz, s["liz"])
+
+            # ---- internal: batched packet-vs-children slab tests ----
+            # all WIDTH children in one (C, B, P) op chain (op count, not
+            # FLOPs, bounds the loop body — see module docstring)
+            gx, gy, gz = (_bitcast_f32(rowt[0]), _bitcast_f32(rowt[1]),
+                          _bitcast_f32(rowt[2]))            # (B,)
+            sx, sy, sz = (_bitcast_f32(rowt[3]), _bitcast_f32(rowt[4]),
+                          _bitcast_f32(rowt[5]))
+            qlc = jnp.stack([rowt[6 + c] for c in range(WIDTH)])     # (C, B)
+            qhc = jnp.stack([rowt[10 + c] for c in range(WIDTH)])
+
+            def corner(q, sh, g, sc):  # (C, B) packed bytes -> (C, B, 1)
+                f = ((q >> sh) & 255).astype(jnp.float32) if sh else \
+                    (q & 255).astype(jnp.float32)
+                return (g[None] + f * sc[None])[:, :, None]
+
+            lx = corner(qlc, 0, gx, sx); hx = corner(qhc, 0, gx, sx)
+            ly = corner(qlc, 8, gy, sy); hy = corner(qhc, 8, gy, sy)
+            lz = corner(qlc, 16, gz, sz); hz = corner(qhc, 16, gz, sz)
+            t1x = (lx - rox[None]) * rix[None]
+            t2x = (hx - rox[None]) * rix[None]
+            t1y = (ly - roy[None]) * riy[None]
+            t2y = (hy - roy[None]) * riy[None]
+            t1z = (lz - roz[None]) * riz[None]
+            t2z = (hz - roz[None]) * riz[None]
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z))
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z))
+            # per-ray prune is sound here because the overflow-proof
+            # stack guarantees no trail restarts (see module docstring);
+            # dead/retired lanes fail tmin < best_t (= -LARGE_FLOAT)
+            hc = (tmax >= tmin) & (tmax > 0.0) & (tmin < s["best_t"][None])
+            any_hit = (jnp.any(hc, axis=2)
+                       & (jnp.arange(WIDTH, dtype=jnp.int32)[:, None]
+                          < nch[None]))                     # (C, B)
+            pd = jnp.min(jnp.where(hc, tmin, LARGE_FLOAT), axis=2)
+            pdm = jnp.where(any_hit, pd, _MISS)
+            dists = [pdm[c] for c in range(WIDTH)]
+            idxs = [jnp.full(b, c, jnp.int32) for c in range(WIDTH)]
+            m = sum((dd > _MISS).astype(jnp.int32) for dd in dists)
+
+            # far -> near by packet-min entry distance (desc sorting network)
+            for a_i, b_i in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                swap = dists[a_i] < dists[b_i]
+                da, db = dists[a_i], dists[b_i]
+                ia, ib = idxs[a_i], idxs[b_i]
+                dists[a_i] = jnp.where(swap, db, da)
+                dists[b_i] = jnp.where(swap, da, db)
+                idxs[a_i] = jnp.where(swap, ib, ia)
+                idxs[b_i] = jnp.where(swap, ia, ib)
+
+            pos_closest = m - 1
+            descend = is_int & (m >= 1)
+            want_pop_int = is_int & (m < 1)
+            child_slot = _at_pos(idxs, pos_closest)
+            next_int = left + child_slot
+            # defer the other m-1 children in ONE packed word (near-first
+            # pop order: field (count-1) is read first = idxs[m-2], the
+            # nearest deferred child — identical visit order to pushing
+            # far->near entries individually)
+            cnt_def = jnp.clip(m - 1, 0, 3)
+            word = ((left << 8) | (cnt_def << 6)
+                    | (idxs[0] & 3) | ((idxs[1] & 3) << 2)
+                    | ((idxs[2] & 3) << 4))
+            stack, scount = _stack_push_n(stack, scount, word,
+                                          descend & (cnt_def >= 1))
+
+            if flat:
+                lox, loy, loz = ox, oy, oz
+                ldx_, ldy_, ldz_ = dx, dy, dz
+            else:
+                # ---- instance leaf: whole packet swaps into object space ----
+                mm = [_bitcast_f32(rowt[16 + k])[:, None] for k in range(12)]
+                nlox = mm[0] * ox + mm[1] * oy + mm[2] * oz + mm[3]
+                nloy = mm[4] * ox + mm[5] * oy + mm[6] * oz + mm[7]
+                nloz = mm[8] * ox + mm[9] * oy + mm[10] * oz + mm[11]
+                nldx = mm[0] * dx + mm[1] * dy + mm[2] * dz
+                nldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
+                nldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
+                em = is_ins[:, None]
+                inst = jnp.where(is_ins, left, s["inst"])
+                lox = jnp.where(em, nlox, s["lox"])
+                loy = jnp.where(em, nloy, s["loy"])
+                loz = jnp.where(em, nloz, s["loz"])
+                ldx_ = jnp.where(em, nldx, s["ldx"])
+                ldy_ = jnp.where(em, nldy, s["ldy"])
+                ldz_ = jnp.where(em, nldz, s["ldz"])
+                lix = jnp.where(em, _rcp_lane(nldx), s["lix"])
+                liy = jnp.where(em, _rcp_lane(nldy), s["liy"])
+                liz = jnp.where(em, _rcp_lane(nldz), s["liz"])
+                next_ins = _bitcast_i32(rowt[28])
+
+            # ---- triangle leaf: batched Moller-Trumbore over leaf slots ----
+            # all lmax triangles in one (L, B, P) op chain; the winner fold
+            # below is lmax cheap (B, P) compare/select steps
+            lrowt = wa.tri_rows[jnp.clip(left, 0, n_leaf_rows - 1)].T  # (C, B)
+            cnt = leaf_data
+
+            def lf(k):  # leaf field k across slots -> (L, B, 1)
+                return jnp.stack([lrowt[16 * c + k]
+                                  for c in range(lmax)])[:, :, None]
+
+            v0x, v0y, v0z = lf(0), lf(1), lf(2)
+            e1x, e1y, e1z = lf(3), lf(4), lf(5)
+            e2x, e2y, e2z = lf(6), lf(7), lf(8)
+            tid = jnp.stack([_bitcast_i32(lrowt[16 * c + 9])
+                             for c in range(lmax)])          # (L, B)
+            ld_x, ld_y, ld_z = ldx_[None], ldy_[None], ldz_[None]
+            hx_ = ld_y * e2z - ld_z * e2y
+            hy_ = ld_z * e2x - ld_x * e2z
+            hz_ = ld_x * e2y - ld_y * e2x
+            a = e1x * hx_ + e1y * hy_ + e1z * hz_
+            fba = 1.0 / jnp.where(jnp.abs(a) < eps, 1.0, a)
+            sx_ = lox[None] - v0x
+            sy_ = loy[None] - v0y
+            sz_ = loz[None] - v0z
+            w1 = fba * (sx_ * hx_ + sy_ * hy_ + sz_ * hz_)
+            qx = sy_ * e1z - sz_ * e1y
+            qy = sz_ * e1x - sx_ * e1z
+            qz = sx_ * e1y - sy_ * e1x
+            w2 = fba * (ld_x * qx + ld_y * qy + ld_z * qz)
+            t = fba * (e2x * qx + e2y * qy + e2z * qz)
+            ok = ((jnp.abs(a) >= eps) & (w1 >= 0.0) & (w1 <= 1.0)
+                  & (w2 >= 0.0) & (w1 + w2 <= 1.0) & (t > eps)
+                  & (jnp.arange(lmax, dtype=jnp.int32)[:, None, None]
+                     < cnt[None, :, None])
+                  & is_tri[None, :, None])
+            t = jnp.where(ok, t, LARGE_FLOAT)                # (L, B, P)
+            t_min = jnp.full((b, p), LARGE_FLOAT)
+            tid_sel = jnp.full((b, p), _INT_MAX)
+            w1_sel = jnp.zeros((b, p), jnp.float32)
+            w2_sel = jnp.zeros((b, p), jnp.float32)
+            for c in range(lmax):
+                tc = t[c]
+                tid_b = jnp.broadcast_to(tid[c][:, None], (b, p))
+                better = (tc < t_min) | ((tc == t_min) & (tc < LARGE_FLOAT)
+                                         & (tid_b < tid_sel))
+                t_min = jnp.where(better, tc, t_min)
+                tid_sel = jnp.where(better, tid_b, tid_sel)
+                w1_sel = jnp.where(better, w1[c], w1_sel)
+                w2_sel = jnp.where(better, w2[c], w2_sel)
+
+            if occlusion:
+                # any hit inside the clamp retires the ray: best_t drops to
+                # -LARGE_FLOAT (the dead-lane value), killing its slab tests
+                # so it stops widening the packet union
+                occ_new = is_tri[:, None] & (t_min < s["best_t"])
+                best_t = jnp.where(occ_new, -LARGE_FLOAT, s["best_t"])
+                bx, by = s["bx"], s["by"]
+                tri = s["tri"]
+                if not flat:
+                    best_inst = s["best_inst"]
+            else:
+                closer = is_tri[:, None] & (t_min < s["best_t"])
+                tie = (is_tri[:, None] & (t_min == s["best_t"])
+                       & (t_min < LARGE_FLOAT))
+                if flat:
+                    # packed (inst << tri_bits) | tri compare IS the
+                    # (inst, tri) lexicographic tie-break
+                    tie_better = tie & (tid_sel < s["tri"])
+                else:
+                    inst_b = jnp.broadcast_to(inst[:, None], (b, p))
+                    tie_better = tie & ((inst_b < s["best_inst"])
+                                        | ((inst_b == s["best_inst"])
+                                           & (tid_sel < s["tri"])))
+                upd = closer | tie_better
+                best_t = jnp.where(upd, t_min, s["best_t"])
+                bx = jnp.where(upd, w1_sel, s["bx"])
+                by = jnp.where(upd, w2_sel, s["by"])
+                tri = jnp.where(upd, tid_sel, s["tri"])
+                if not flat:
+                    best_inst = jnp.where(upd, inst_b, s["best_inst"])
+            want_pop_tri = is_tri
+
+            # ---- next / pop (per packet) ----
+            if flat:
+                nxt = jnp.where(descend, next_int, s["node"])
+            else:
+                nxt = jnp.where(is_int,
+                                jnp.where(descend, next_int, s["node"]),
+                                jnp.where(is_ins, next_ins, s["node"]))
+            want_pop = want_pop_int | want_pop_tri
+            empty = scount == 0
+            dead = want_pop & empty        # stack drained => walk complete
+            do_pop = want_pop & ~empty
+            top = stack[0]
+            c_top = (top >> 6) & 3
+            slot = (top >> (2 * jnp.maximum(c_top - 1, 0))) & 3
+            node_pop = (top >> 8) + slot
+            # 2 of 3 pops just decrement the top word's count field in place;
+            # the last child of a word pops the word off the shift register
+            partial = do_pop & (c_top > 1)
+            s0 = jnp.where(partial, top - 64, top)
+            stack = (s0,) + tuple(stack[1:])
+            _, stack, scount = _stack_pop_n(stack, scount,
+                                            do_pop & (c_top <= 1))
+            nxt = jnp.where(do_pop, node_pop, nxt)
+
+            done = s["done"] | dead
+            if occlusion:
+                done = done | ~jnp.any(best_t > 0.0, axis=1)
+            if stats:
+                live = act.sum(dtype=jnp.int32)
+                s["packet_steps"] = s["packet_steps"] + live
+                s["ray_steps"] = s["ray_steps"] + jnp.sum(
+                    (ray_on & act[:, None]).sum(1, dtype=jnp.int32),
+                    dtype=jnp.float32)
+                s["int_steps"] = s["int_steps"] + is_int.sum(dtype=jnp.int32)
+                s["tri_steps"] = s["tri_steps"] + is_tri.sum(dtype=jnp.int32)
+                s["ins_steps"] = s["ins_steps"] + is_ins.sum(dtype=jnp.int32)
+            s.update(node=nxt, stack=stack, scount=scount,
+                     best_t=best_t, bx=bx, by=by, tri=tri,
+                     done=done, steps=s["steps"] + 1)
             if not flat:
-                best_inst = jnp.where(upd, inst_b, s["best_inst"])
-        want_pop_tri = is_tri
+                s.update(inst=inst, lox=lox, loy=loy, loz=loz,
+                         ldx=ldx_, ldy=ldy_, ldz=ldz_,
+                         lix=lix, liy=liy, liz=liz, best_inst=best_inst)
+            return [s[k] for k in keys]
 
-        # ---- next / pop (per packet) ----
-        if flat:
-            nxt = jnp.where(descend, next_int, s["node"])
-        else:
-            nxt = jnp.where(is_int,
-                            jnp.where(descend, next_int, s["node"]),
-                            jnp.where(is_ins, next_ins, s["node"]))
-        want_pop = want_pop_int | want_pop_tri
-        empty = scount == 0
-        dead = want_pop & empty        # stack drained => walk complete
-        do_pop = want_pop & ~empty
-        top = stack[0]
-        c_top = (top >> 6) & 3
-        slot = (top >> (2 * jnp.maximum(c_top - 1, 0))) & 3
-        node_pop = (top >> 8) + slot
-        # 2 of 3 pops just decrement the top word's count field in place;
-        # the last child of a word pops the word off the shift register
-        partial = do_pop & (c_top > 1)
-        s0 = jnp.where(partial, top - 64, top)
-        stack = (s0,) + tuple(stack[1:])
-        _, stack, scount = _stack_pop_n(stack, scount,
-                                        do_pop & (c_top <= 1))
-        nxt = jnp.where(do_pop, node_pop, nxt)
+        return dict(zip(keys, jax.lax.while_loop(
+            cond, body, [st0[k] for k in keys])))
 
-        done = s["done"] | dead
-        if occlusion:
-            done = done | ~jnp.any(best_t > 0.0, axis=1)
-        if stats:
-            live = act.sum(dtype=jnp.int32)
-            s["packet_steps"] = s["packet_steps"] + live
-            s["ray_steps"] = s["ray_steps"] + jnp.sum(
-                (ray_on & act[:, None]).sum(1, dtype=jnp.int32),
-                dtype=jnp.int32)
-            s["int_steps"] = s["int_steps"] + is_int.sum(dtype=jnp.int32)
-            s["tri_steps"] = s["tri_steps"] + is_tri.sum(dtype=jnp.int32)
-            s["ins_steps"] = s["ins_steps"] + is_ins.sum(dtype=jnp.int32)
-        s.update(node=nxt, stack=stack, scount=scount,
-                 best_t=best_t, bx=bx, by=by, tri=tri,
-                 done=done, steps=s["steps"] + 1)
-        if not flat:
-            s.update(inst=inst, lox=lox, loy=loy, loz=loz,
-                     ldx=ldx_, ldy=ldy_, ldz=ldz_,
-                     lix=lix, liy=liy, liz=liz, best_inst=best_inst)
-        return [s[k] for k in keys]
+    # ---- straggler compaction (measured ~10% packet occupancy on 1080p
+    # bounce waves: the while_loop iterates for its SLOWEST packet while
+    # every other packet's state still pays per-iteration cost).  Run
+    # the full-width loop only until <= B/4 packets remain live, gather
+    # the live packets into a 4x smaller array, and repeat; the
+    # straggler tail then iterates on cheap arrays.  Per-packet state
+    # is self-contained, and completed hit fields scatter back to their
+    # original rows after every round, so results are bit-identical.
+    targets = []
+    if not stats:
+        t_ = b // 4
+        while t_ >= 16:
+            targets.append(t_)
+            t_ //= 4
+    targets.append(0)
 
-    final = dict(zip(keys, jax.lax.while_loop(
-        cond, body, [state[k] for k in keys])))
+    hit_keys = ["best_t", "bx", "by", "tri"] + (
+        [] if flat else ["best_inst"])
+    if len(targets) == 1:
+        final = _round(state, inv, b, 0)
+    else:
+        out = {k: state[k] for k in hit_keys}
+        src = jnp.arange(b, dtype=jnp.int32)
+        cur, cur_inv, cur_b = state, inv, b
+        fin = None
+        for target in targets:
+            fin = _round(cur, cur_inv, cur_b, target)
+            for k in hit_keys:
+                out[k] = out[k].at[src].set(fin[k])
+            if target == 0:
+                break
+            order = jnp.argsort(fin["done"])       # live rows first
+            keep = order[:target]
+            src = src[keep]
+            cur = {k: (v if k == "steps"
+                       else jax.tree.map(lambda a: a[keep], v))
+                   for k, v in fin.items()}
+            cur_inv = {k: v[keep] for k, v in cur_inv.items()}
+            cur_b = target
+        final = dict(out, steps=fin["steps"])
 
     def reshape_r(x):
         return x.reshape(r)
