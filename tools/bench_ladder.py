@@ -165,20 +165,22 @@ def _scale_cfg(num, scene, spp, depth, draws, lbvh=False):
         for m, refl in bigscenes.atrium():
             sc.add_instance(sc.add_mesh(m), reflectivity=refl)
     # flat single-BVH build (the wavefront engine's production layout);
-    # config 3 swaps in the on-device LBVH (itself flat) below
-    sb = sc.build(RTConfig(flatten=True))
+    # config 3 swaps in the on-device LBVH (itself flat) below.
+    # bounce_packet 16: the 1080p d3 sweep optimum (config knob comment)
+    cfg = RTConfig(flatten=True, bounce_packet=16)
+    sb = sc.build(cfg)
     rec = dict(config=num, scene=scene, tris=sb.num_tris, res="1920x1080",
                spp=spp, depth=depth, shadow=True, pathtrace=True)
     if lbvh:
         # BASELINE config 3 asks for the ON-DEVICE LBVH build
         from vortex_rt_tpu.accel.lbvh import build_wide_from_tris
         t0 = time.time()
-        r = WavefrontRenderer.from_buffers(sb)
+        r = WavefrontRenderer.from_buffers(sb, config=cfg)
         r.wa = build_wide_from_tris(sb)
         jax.block_until_ready(r.wa.nodes)
         rec["lbvh_build_s"] = round(time.time() - t0, 2)
     else:
-        r = WavefrontRenderer.from_buffers(sb)
+        r = WavefrontRenderer.from_buffers(sb, config=cfg)
     cam = Scene.framing_camera(sb, 45.0, 1920 / 1080)
     p = RenderParams(max_depth=depth, spp=spp, shadow=True, pathtrace=True)
     # Heavy configs time HOST-SIDE per-frame dispatches, not in-program

@@ -261,7 +261,8 @@ def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
 def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                    alive, max_depth, shadow, bilinear, packet, chunk,
                    tune_nonce, slab, stage_limit=None, collect_stats=False,
-                   trace_fn=None, bounce_packet=None, pallas_waves="off"):
+                   trace_fn=None, bounce_packet=None, shadow_packet=None,
+                   pallas_waves="off"):
     """The bounce pipeline over one lane set (trace + shadow occlusion +
     shade + spawn, max_depth waves).  Works at any lane count: the
     slab-major frame maps it over VMEM-sized groups (every intermediate
@@ -300,6 +301,9 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
     # frame ~60x.  Smaller packets (or the per-ray engine, 0) tighten
     # the union at the cost of more packet-state lanes.
     bounce_packet = packet if bounce_packet is None else bounce_packet
+    # shadow_packet None: each shadow wave follows its bounce's packet
+    # size (primary-size at bounce 0, bounce_packet after) - measured
+    # best; a uniform override is available for experiments
 
     def _run(stage):
         return stage_limit is None or stage <= stage_limit
@@ -407,7 +411,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                 hpx + sdx * 1e-3, hpy + sdy * 1e-3, hpz + sdz * 1e-3,
                 sdx, sdy, sdz, sh_act,
                 t_clamp=dist_l * (1.0 - 1e-3), occl=True,
-                stats=collect_stats)
+                stats=collect_stats, pk=shadow_packet)  # None -> wave
             steps_total = steps_total + sh_steps
             if shstats is not None:
                 wave_stats[f"shadow{bounce}"] = shstats
@@ -463,7 +467,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                bilinear: bool = False, slab: int = 32768,
                stage_limit: Optional[int] = None,
                collect_stats: bool = False, trace_fn=None,
-               bounce_packet: Optional[int] = None):
+               bounce_packet: Optional[int] = None,
+               shadow_packet: Optional[int] = None):
     """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
     must be a whole number of rows for the tiled layout).  Returns
     ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
@@ -546,7 +551,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 wa, sa, ctx, table, light, lanes6, pix, samp, alive,
                 max_depth, shadow, bilinear, packet, chunk, tune_nonce, 0,
                 stage_limit=stage_limit, collect_stats=collect_stats,
-                trace_fn=trace_fn, bounce_packet=bounce_packet)
+                trace_fn=trace_fn, bounce_packet=bounce_packet,
+                shadow_packet=shadow_packet)
             return rr, rg, rb, rays, steps, probe, wstats
 
         gis = jnp.arange(g, dtype=jnp.int32)
@@ -571,7 +577,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             samps = (seed_u * jnp.uint32(spp)
                      + jnp.arange(spp, dtype=jnp.uint32))
             zstats = ({} if not collect_stats else jax.tree.map(
-                lambda _: jnp.int32(0),
+                lambda sd: jnp.zeros(sd.shape, sd.dtype),
                 jax.eval_shape(lambda s: one_pass(s)[6],
                                jnp.uint32(0))))
             acc0 = (jnp.zeros(r, jnp.float32), jnp.zeros(r, jnp.float32),
@@ -629,7 +635,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         wa, sa, ctx, table, light, args, pix, samp, alive,
         max_depth, shadow, bilinear, packet, chunk, tune_nonce, slab,
         stage_limit=stage_limit, collect_stats=collect_stats,
-        trace_fn=trace_fn, bounce_packet=bounce_packet)
+        trace_fn=trace_fn, bounce_packet=bounce_packet,
+        shadow_packet=shadow_packet)
 
     # ---- resolve: rays never moved lanes, so pool order IS (pixel, spp)
     # order; tile-major lanes resolve with a reshape+transpose.  Channels
@@ -656,20 +663,22 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "bilinear", "bounce_packet"))
+                          "bilinear", "bounce_packet", "shadow_packet"))
 def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      light: LightArrays, width: int, height: int,
                      max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                      table: ShaderTable = None, seed: int = 0,
                      packet: int = 128, shadow: bool = False,
                      tile_w: int = 16, tile_h: int = 16,
-                     bilinear: bool = False, bounce_packet=None):
+                     bilinear: bool = False, bounce_packet=None,
+                     shadow_packet=None):
     """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
     img, rays, steps = frame_body(
         wa, sa, cam, light, width, height, width * height, 0,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
         packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
-        bilinear=bilinear, bounce_packet=bounce_packet)
+        bilinear=bilinear, bounce_packet=bounce_packet,
+        shadow_packet=shadow_packet)
     return (img.reshape(3, height, width).transpose(1, 2, 0),
             rays, steps)
 
@@ -677,19 +686,20 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
                  chunk=4096, table=None, seed=0, packet=128,
                  tile_w=16, tile_h=16, shadow=False, bilinear=False,
-                 bounce_packet=None):
+                 bounce_packet=None, shadow_packet=None):
     """Host wrapper around render_wavefront (kept as the stable API)."""
     return render_wavefront(
         wa, sa, cam, light, width, height, max_depth=max_depth, spp=spp,
         chunk=chunk, table=table, seed=seed, packet=packet,
         shadow=shadow, tile_w=tile_w, tile_h=tile_h, bilinear=bilinear,
-        bounce_packet=bounce_packet)
+        bounce_packet=bounce_packet, shadow_packet=shadow_packet)
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "n_frames", "tune_nonce", "bounce_packet"))
+                          "n_frames", "tune_nonce", "bounce_packet",
+                          "shadow_packet"))
 def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_frames: int = 16, seed0=0,
@@ -697,7 +707,8 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  table: ShaderTable = None,
                  packet: int = 128, shadow: bool = False,
                  tile_w: int = 16, tile_h: int = 16,
-                 tune_nonce: int = 0, bounce_packet=None):
+                 tune_nonce: int = 0, bounce_packet=None,
+                 shadow_packet=None):
     """Render ``n_frames`` frames (seeds seed0..seed0+n-1) inside ONE XLA
     program, reduced to ONE i32: the exact total ray count (plus an
     always-zero anti-DCE guard derived from the radiance checksum).  No
@@ -730,7 +741,7 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             max_depth=max_depth, spp=spp, chunk=chunk, table=table,
             seed=seed, packet=packet, shadow=shadow,
             tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce,
-            bounce_packet=bounce_packet)
+            bounce_packet=bounce_packet, shadow_packet=shadow_packet)
         return img.sum(), rays, steps
 
     seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
@@ -742,14 +753,15 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "n_passes", "bounce_packet"))
+                          "n_passes", "bounce_packet", "shadow_packet"))
 def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_passes: int = 4, seed0=0,
                  max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                  table: ShaderTable = None,
                  packet: int = 128, shadow: bool = False,
-                 tile_w: int = 16, tile_h: int = 16, bounce_packet=None):
+                 tile_w: int = 16, tile_h: int = 16, bounce_packet=None,
+                 shadow_packet=None):
     """Progressive accumulation: average ``n_passes`` frames (stratified
     over spp*n_passes total samples per pixel) inside ONE XLA program.
     Returns ((H, W, 3) image, total rays, total steps).
@@ -770,7 +782,7 @@ def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             max_depth=max_depth, spp=spp, chunk=chunk, table=table,
             seed=seed, packet=packet, shadow=shadow,
             tile_w=tile_w, tile_h=tile_h, total_spp=total,
-            bounce_packet=bounce_packet)
+            bounce_packet=bounce_packet, shadow_packet=shadow_packet)
         a_img, a_rays, a_steps = acc
         return (a_img + img, a_rays + rays, a_steps + steps), None
 
@@ -1023,7 +1035,8 @@ class WavefrontRenderer:
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             shadow=params.shadow,
             bilinear=self.config.tex_filter == "bilinear",
-            bounce_packet=self.config.bounce_packet)
+            bounce_packet=self.config.bounce_packet,
+            shadow_packet=self.config.shadow_packet)
         return np.asarray(img), int(nrays)
 
     def _table_for(self, params: RenderParams) -> ShaderTable:
@@ -1057,7 +1070,8 @@ class WavefrontRenderer:
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             shadow=params.shadow, tune_nonce=self._dev_cache.get("nonce", 0),
-            bounce_packet=self.config.bounce_packet)
+            bounce_packet=self.config.bounce_packet,
+            shadow_packet=self.config.shadow_packet)
         if rays_only:
             return int(nrays)
         # the burst program is scalar-only (fast compile basin); the last
@@ -1174,7 +1188,8 @@ class WavefrontRenderer:
             packet=self.config.packet_size,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             shadow=params.shadow,
-            bounce_packet=self.config.bounce_packet)
+            bounce_packet=self.config.bounce_packet,
+            shadow_packet=self.config.shadow_packet)
         return np.asarray(img), int(nrays)
 
     def _render_chunked(self, cam: Camera, params: RenderParams,

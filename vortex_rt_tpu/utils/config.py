@@ -73,7 +73,18 @@ class RTConfig:
                                 # diffuse-bounce directions are incoherent
                                 # and a packet walks its rays' UNION path,
                                 # so bounce waves want tighter packets
-                                # (0 = per-ray engine for bounce waves)
+                                # (0 = per-ray engine for bounce waves).
+                                # Post-compaction sweeps: 32 best at
+                                # 512x512 cornell; 16 best at 1080p
+                                # bunny d3 (4.33 vs 4.57 s) - the ladder
+                                # scale configs override to 16
+    shadow_packet: Optional[int] = None  # packet size for shadow
+                                # occlusion waves; None follows each
+                                # bounce's wave packet (primary-size at
+                                # bounce 0, bounce_packet after) - the
+                                # measured optimum; uniform overrides
+                                # swept worse (128: 35.7 ms, 64: 38.0,
+                                # 32: 38.6 vs 34.0 baseline at bench)
     queue_capacity: int = 1024  # ShaderQueue CAPACITY (sim/simx/types.h:1844)
                                 # — enforced by the RTU facade: bounded
                                 # queues with lossless overflow spill
