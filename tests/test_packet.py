@@ -147,3 +147,50 @@ def test_packet_t_max_clamp(rng):
     h_far, _ = trace_packets(wa, o, d, packet=64, t_max=far)
     assert (np.asarray(h_near.dist) >= LARGE_FLOAT).all()
     assert np.allclose(np.asarray(h_far.dist), 4.0, atol=1e-5)
+
+
+def test_packet_mixed_occlusion_split():
+    """occl_split merged wave == separate occlusion + closest traces.
+
+    The wavefront engine overlaps shadow wave k with bounce wave k+1 in
+    ONE while_loop (per-packet mode flag); results must be bit-identical
+    to tracing the two waves separately."""
+    import jax.numpy as jnp
+
+    from vortex_rt_tpu.models.procedural import cornell_box, uv_sphere
+    from vortex_rt_tpu.models.scene import Camera, Scene
+    from vortex_rt_tpu.golden.renderer import generate_rays
+    from vortex_rt_tpu.ops.traverse_packet import trace_packets
+
+    sc = Scene()
+    for mesh, refl in cornell_box():
+        sc.add_instance(sc.add_mesh(mesh), reflectivity=refl)
+    sc.add_instance(sc.add_mesh(uv_sphere((0, -0.3, 0), 0.35, 10, 20)))
+    sb = sc.build()
+    wa = WideArrays.from_scene(sb)
+    cam = Camera.look_at([0.05, 0.02, -3.2], [0, -0.05, 0], [0, 1, 0],
+                         45.0, 1.0)
+    o, d = generate_rays(cam, 64, 64)
+    o, d = jnp.asarray(np.asarray(o)), jnp.asarray(np.asarray(d))
+    n = o.shape[0]
+    # occlusion half: clamped shadow-ish rays; closest half: plain rays
+    h0, _ = trace_packets(wa, o, d, packet=64)
+    ref = np.asarray(h0.dist)
+    t_max = np.where(ref < 1e29, ref * 1.1, 4.0).astype(np.float32)
+    act = np.arange(n) % 3 != 0
+    ho, _ = trace_packets(wa, o, d, packet=64, active=jnp.asarray(act),
+                          t_max=jnp.asarray(t_max), occlusion=True)
+    hc, _ = trace_packets(wa, o, d, packet=64)
+    om = np.r_[act, np.ones(n, bool)]
+    tm = np.r_[t_max, np.full(n, np.float32(1e30))].astype(np.float32)
+    hm, _ = trace_packets(wa, jnp.concatenate([o, o]),
+                          jnp.concatenate([d, d]), packet=64,
+                          active=jnp.asarray(om), t_max=jnp.asarray(tm),
+                          occl_split=n)
+    dm = np.asarray(hm.dist)
+    np.testing.assert_array_equal(dm[:n], np.asarray(ho.dist))
+    np.testing.assert_array_equal(dm[n:], np.asarray(hc.dist))
+    np.testing.assert_array_equal(np.asarray(hm.tri)[n:],
+                                  np.asarray(hc.tri))
+    np.testing.assert_array_equal(np.asarray(hm.inst)[n:],
+                                  np.asarray(hc.inst))

@@ -266,3 +266,43 @@ def test_alpha_cutout_anyhit():
     # quad is legitimately visible around the front quad's edges)
     core = img_solid[4:60, 4:60]
     assert ((core[:, :, 0] - core[:, :, 1]) > 0.1).sum() == 0
+
+
+def test_merged_shadow_bounce_wave_bitwise():
+    """The merged shadow+next-bounce wave (one occl_split packet loop +
+    lit=0/1 shader blend) computes the same arithmetic as the
+    sequential shadow -> shade -> bounce pipeline
+    (lit_independent_spawn=False forces the fallback); the compiled
+    programs differ only by XLA fusion/FMA reassociation (<= ~2 ulp on
+    ~1% of pixels).  Ray counts are exactly equal (same kill/spawn
+    decisions)."""
+    import dataclasses
+
+    from vortex_rt_tpu.engine.shaders import ShaderTable, pathtrace_closest
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.models.procedural import cornell_box, uv_sphere
+    from vortex_rt_tpu.models.scene import Camera, RenderParams, Scene
+
+    sc = Scene()
+    for mesh, refl in cornell_box():
+        sc.add_instance(sc.add_mesh(mesh), reflectivity=refl)
+    sc.add_instance(sc.add_mesh(uv_sphere((0, -0.3, 0), 0.35, 10, 20)))
+    sb = sc.build()
+    cam = Camera.look_at([0.05, 0.02, -3.2], [0, -0.05, 0], [0, 1, 0],
+                         45.0, 1.0)
+    p = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=3, spp=2,
+                     shadow=True, pathtrace=True)
+    r = WavefrontRenderer.from_buffers(sb)
+    img_m, rays_m = r.render(cam, p, 64, 64)
+    seq_table = dataclasses.replace(r._table_for(p),
+                                    lit_independent_spawn=False)
+    r._tables = {}  # drop the cached table
+    orig = WavefrontRenderer._table_for
+    try:
+        WavefrontRenderer._table_for = lambda self, params: seq_table
+        img_s, rays_s = r.render(cam, p, 64, 64)
+    finally:
+        WavefrontRenderer._table_for = orig
+    np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_s),
+                               atol=5e-7, rtol=5e-7)
+    assert int(rays_m) == int(rays_s)

@@ -210,3 +210,10 @@ class ShaderTable:
     closest: Callable = default_closest
     miss: Callable = default_miss
     anyhit: Optional[Callable] = None
+    # the closest shader's continuation (spawn/sox..sdz/mul) must not
+    # depend on sp.lit for the engine's merged shadow+bounce wave (the
+    # occlusion result then only selects between lit=0/1 ADD terms).
+    # Both shipped closest shaders qualify; set False for a custom
+    # shader whose spawn logic reads sp.lit and the engine falls back
+    # to sequential shadow->shade->bounce waves
+    lit_independent_spawn: bool = True

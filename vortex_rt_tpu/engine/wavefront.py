@@ -308,6 +308,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
     def _run(stage):
         return stage_limit is None or stage <= stage_limit
 
+    pending = None  # hits pre-traced by the previous merged wave
     for bounce in range(max_depth):
         if not _run(1 + bounce * 3):
             break
@@ -377,11 +378,17 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                  samp), chunk, t_clamp=t_clamp) + (None,)
 
         rays_traced = rays_traced + alive.sum(dtype=jnp.int32)
-        dist, bx, by, tri, inst, steps, tstats = _trace(
-            ox, oy, oz, dx, dy, dz, alive, stats=collect_stats)
-        steps_total = steps_total + steps
-        if tstats is not None:
-            wave_stats[f"trace{bounce}"] = tstats
+        if pending is None:
+            dist, bx, by, tri, inst, steps, tstats = _trace(
+                ox, oy, oz, dx, dy, dz, alive, stats=collect_stats)
+            steps_total = steps_total + steps
+            if tstats is not None:
+                wave_stats[f"trace{bounce}"] = tstats
+        else:
+            # this wave was traced inside the previous bounce's MERGED
+            # shadow+bounce call (see below); steps already counted
+            dist, bx, by, tri, inst = pending
+            pending = None
         if stage_limit is not None:
             probe = probe + dist.sum() + bx.sum() + by.sum()
         if not _run(2 + bounce * 3) and shadow:
@@ -391,6 +398,25 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
         miss = alive & ~hit
         tri_c = jnp.clip(tri, 0, sa.shade_rows.shape[0] - 1)
         inst_c = jnp.clip(inst, 0, sa.inst_shade.shape[0] - 1)
+        # ---- merged shadow + next-bounce wave ----
+        # The shadow wave only needs THIS bounce's hit points, and the
+        # continuation rays only need the shader's spawn output — which
+        # is lit-independent (ShaderTable.lit_independent_spawn).  So
+        # the occlusion query and the next bounce's closest-hit trace
+        # run in ONE packet loop (trace_packets occl_split), overlapping
+        # their straggler tails, and the shader is evaluated at lit=0
+        # and lit=1 with the occlusion result selecting per lane —
+        # bitwise-identical to the sequential pipeline.
+        sh_pk = shadow_packet
+        if sh_pk is None:
+            sh_pk = wave_packet
+        merge = (shadow and bounce + 1 < max_depth
+                 and stage_limit is None and not collect_stats
+                 and trace_fn is None and table.anyhit is None
+                 and getattr(table, "lit_independent_spawn", True)
+                 and bounce_packet > 0 and sh_pk == bounce_packet
+                 and r % bounce_packet == 0
+                 and not (0 < slab < r))
         if shadow:
             # shadow rays need the hit point only — full shading happens
             # after the occlusion result (stage split: shadow ms and
@@ -407,29 +433,77 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
             sdx, sdy, sdz = slx / dist_l, sly / dist_l, slz / dist_l
             sh_act = hit
             rays_traced = rays_traced + sh_act.sum(dtype=jnp.int32)
-            sh_dist, _, _, _, _, sh_steps, shstats = _trace(
-                hpx + sdx * 1e-3, hpy + sdy * 1e-3, hpz + sdz * 1e-3,
-                sdx, sdy, sdz, sh_act,
-                t_clamp=dist_l * (1.0 - 1e-3), occl=True,
-                stats=collect_stats, pk=shadow_packet)  # None -> wave
-            steps_total = steps_total + sh_steps
-            if shstats is not None:
-                wave_stats[f"shadow{bounce}"] = shstats
-            if stage_limit is not None:
-                probe = probe + sh_dist.sum()
-            occluded = sh_act & (sh_dist < dist_l * (1.0 - 1e-3))
+            if not merge:
+                sh_dist, _, _, _, _, sh_steps, shstats = _trace(
+                    hpx + sdx * 1e-3, hpy + sdy * 1e-3, hpz + sdz * 1e-3,
+                    sdx, sdy, sdz, sh_act,
+                    t_clamp=dist_l * (1.0 - 1e-3), occl=True,
+                    stats=collect_stats, pk=sh_pk)
+                steps_total = steps_total + sh_steps
+                if shstats is not None:
+                    wave_stats[f"shadow{bounce}"] = shstats
+                if stage_limit is not None:
+                    probe = probe + sh_dist.sum()
+                occluded = sh_act & (sh_dist < dist_l * (1.0 - 1e-3))
         if not _run(3 + bounce * 3):
             break
         sp = shade_point(sa, ox, oy, oz, dx, dy, dz,
                          dist, bx, by, 1.0 - bx - by, tri_c, inst_c,
                          bilinear=bilinear)
-        if shadow:
-            sp = sp._replace(lit=jnp.where(occluded, 0.0, 1.0))
         ray = RayLanes(ox, oy, oz, dx, dy, dz)
         pl = PayloadLanes((thr_r + thr_g + thr_b) * (1.0 / 3.0),
                           bounce_ct, pix, samp)
 
-        co = table.closest(ctx, sp, ray, pl)
+        if shadow and merge:
+            ones = jnp.ones(r, jnp.float32)
+            co1 = table.closest(ctx, sp._replace(lit=ones), ray, pl)
+            co0 = table.closest(ctx, sp._replace(lit=ones * 0.0), ray, pl)
+            spawn = hit & co1.spawn
+            n_ox = jnp.where(spawn, co1.sox, ox)
+            n_oy = jnp.where(spawn, co1.soy, oy)
+            n_oz = jnp.where(spawn, co1.soz, oz)
+            n_dx = jnp.where(spawn, co1.sdx, dx)
+            n_dy = jnp.where(spawn, co1.sdy, dy)
+            n_dz = jnp.where(spawn, co1.sdz, dz)
+            # (spawned-ray counting happens at the next iteration's top,
+            # exactly as in the sequential pipeline)
+            m_o = jnp.stack([jnp.concatenate([hpx + sdx * 1e-3, n_ox]),
+                             jnp.concatenate([hpy + sdy * 1e-3, n_oy]),
+                             jnp.concatenate([hpz + sdz * 1e-3, n_oz])],
+                            axis=1)
+            m_d = jnp.stack([jnp.concatenate([sdx, n_dx]),
+                             jnp.concatenate([sdy, n_dy]),
+                             jnp.concatenate([sdz, n_dz])], axis=1)
+            m_act = jnp.concatenate([sh_act, spawn])
+            m_tc = jnp.concatenate([dist_l * (1.0 - 1e-3),
+                                    jnp.full(r, LARGE_FLOAT)])
+            hm, m_steps = trace_packets(
+                wa, m_o, m_d, packet=bounce_packet, active=m_act,
+                t_max=m_tc, occl_split=r,
+                max_steps=400_000 + tune_nonce)
+            steps_total = steps_total + m_steps
+            sh_dist = hm.dist[:r]
+            occluded = sh_act & (sh_dist < dist_l * (1.0 - 1e-3))
+            pending = (hm.dist[r:], hm.bx[r:], hm.by[r:], hm.tri[r:],
+                       hm.inst[r:])
+            # per-lane lit selection == computing with the gated lit
+            occ = occluded
+
+            def blend(a, b_):
+                return jnp.where(occ, a, b_)
+
+            co = co1._replace(
+                add_r=blend(co0.add_r, co1.add_r),
+                add_g=blend(co0.add_g, co1.add_g),
+                add_b=blend(co0.add_b, co1.add_b),
+                mul_r=blend(co0.mul_r, co1.mul_r),
+                mul_g=blend(co0.mul_g, co1.mul_g),
+                mul_b=blend(co0.mul_b, co1.mul_b))
+        else:
+            if shadow:
+                sp = sp._replace(lit=jnp.where(occluded, 0.0, 1.0))
+            co = table.closest(ctx, sp, ray, pl)
+            spawn = hit & co.spawn
         mr, mg, mb = table.miss(ctx, ray, pl)
 
         rad_r = rad_r + jnp.where(hit, thr_r * co.add_r,
@@ -442,7 +516,6 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
         thr_g = jnp.where(hit, thr_g * co.mul_g, thr_g)
         thr_b = jnp.where(hit, thr_b * co.mul_b, thr_b)
 
-        spawn = hit & co.spawn
         ox = jnp.where(spawn, co.sox, ox)
         oy = jnp.where(spawn, co.soy, oy)
         oz = jnp.where(spawn, co.soz, oz)

@@ -115,6 +115,7 @@ def trace_packets(
     max_steps: int = 400_000,
     t_max: Optional[jnp.ndarray] = None,
     occlusion: bool = False,
+    occl_split: int = 0,
     stats: bool = False,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
@@ -131,12 +132,25 @@ def trace_packets(
     unoccluded rays return dist=LARGE_FLOAT.  Barycentrics/tri ids are
     meaningless in this mode.
 
+    ``occl_split=k`` (static, multiple of ``packet``) runs a MIXED wave:
+    the first k rays trace in occlusion mode, the rest closest-hit — one
+    while_loop covers both, so a shadow wave and the next bounce wave
+    overlap their straggler tails (the wavefront engine's merged wave).
+    Packets are homogeneous (k is packet-aligned), so the mode is a
+    per-packet flag that survives compaction.
+
     ``stats=True`` additionally carries PacketStats scalar aggregates in
     the loop and returns (Hits, PacketStats) instead of (Hits, steps)."""
     r = o.shape[0]
     p = int(packet)
     assert r % p == 0, "ray count must be a multiple of the packet size"
     b = r // p
+    if occlusion:
+        occl_split = r
+    occl_split = int(occl_split)
+    assert 0 <= occl_split <= r and occl_split % p == 0
+    mixed = 0 < occl_split < r
+    occlusion = occl_split == r
     # flattened-scene fast path (WideArrays.tri_bits): no TLAS/instance
     # nodes exist, so the loop drops the 9 local-space lanes + inst
     # state entirely (~40% of per-ray loop bytes) and the instance
@@ -188,6 +202,11 @@ def trace_packets(
     )
     if not flat:
         state.update(best_inst=jnp.zeros((b, p), jnp.int32))
+    if mixed:
+        # per-packet mode flag (mixed occlusion/closest wave); part of
+        # the state so compaction's packet gathers carry it along
+        state.update(is_occ=jnp.arange(b, dtype=jnp.int32)
+                     < (occl_split // p))
     if stats:
         # ray_steps accumulates live-ray counts per iteration and can
         # exceed 2^31 on 1080p bounce waves — carried as f32 (indicative)
@@ -414,12 +433,21 @@ def trace_packets(
                                         | ((inst_b == s["best_inst"])
                                            & (tid_sel < s["tri"])))
                 upd = closer | tie_better
+                if mixed:
+                    # occlusion-mode packets retire rays at first hit
+                    # instead of the closest-hit update
+                    occ_pk = s["is_occ"][:, None]
+                    occ_new = (occ_pk & is_tri[:, None]
+                               & (t_min < s["best_t"]))
+                    upd = upd & ~occ_pk
                 best_t = jnp.where(upd, t_min, s["best_t"])
                 bx = jnp.where(upd, w1_sel, s["bx"])
                 by = jnp.where(upd, w2_sel, s["by"])
                 tri = jnp.where(upd, tid_sel, s["tri"])
                 if not flat:
                     best_inst = jnp.where(upd, inst_b, s["best_inst"])
+                if mixed:
+                    best_t = jnp.where(occ_new, -LARGE_FLOAT, best_t)
             want_pop_tri = is_tri
 
             # ---- next / pop (per packet) ----
@@ -449,6 +477,9 @@ def trace_packets(
             done = s["done"] | dead
             if occlusion:
                 done = done | ~jnp.any(best_t > 0.0, axis=1)
+            elif mixed:
+                done = done | (s["is_occ"]
+                               & ~jnp.any(best_t > 0.0, axis=1))
             if stats:
                 live = act.sum(dtype=jnp.int32)
                 s["packet_steps"] = s["packet_steps"] + live
@@ -517,6 +548,16 @@ def trace_packets(
     if occlusion:
         occluded = ray_on & (final["best_t"] < 0.0)
         dist = reshape_r(jnp.where(occluded, 0.0, LARGE_FLOAT))
+    elif mixed:
+        occ_lane = jnp.broadcast_to(
+            (jnp.arange(b, dtype=jnp.int32) < occl_split // p)[:, None],
+            (b, p))
+        occluded = ray_on & occ_lane & (final["best_t"] < 0.0)
+        d_occ = jnp.where(occluded, 0.0, LARGE_FLOAT)
+        d_clo = jnp.where((final["best_t"] < 0)
+                          | (final["best_t"] >= limit),
+                          LARGE_FLOAT, final["best_t"])
+        dist = reshape_r(jnp.where(occ_lane, d_occ, d_clo))
     else:
         # a real hit is strictly inside the clamp; unhit rays still carry
         # their initial t_max and must report miss
