@@ -228,3 +228,27 @@ def test_pad_tris():
     assert a.shape[0] == 8
     # padding is degenerate (all three verts identical)
     assert (a[5:] == b[5:]).all() and (b[5:] == c[5:]).all()
+
+
+def test_sah_sweep_method_parity(rng):
+    """build_lbvh_topo(method='sah') produces a sound tree: same hits
+    as the karras tree and the refit fast path reproduces the build."""
+    m = random_soup(rng, 300)
+    v0, v1, v2 = pad_tris(m.v0, m.v1, m.v2, 4)
+    dv = [jnp.asarray(v) for v in (v0, v1, v2)]
+    lb_k, _ = build_lbvh_topo(*dv, leaf_size=4, method="karras")
+    lb_s, topo_s = build_lbvh_topo(*dv, leaf_size=4, method="sah")
+    _lbvh_structure_ok(lb_s.nodes, lb_s.tri_rows, 4, v0.shape[0])
+    r = np.random.default_rng(11)
+    o = r.uniform(-2, 2, (512, 3)).astype(np.float32)
+    d = r.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    hk, _, _ = trace_rays_wide(wide_arrays_from_lbvh(lb_k),
+                               jnp.asarray(o), jnp.asarray(d))
+    hs, _, _ = trace_rays_wide(wide_arrays_from_lbvh(lb_s),
+                               jnp.asarray(o), jnp.asarray(d))
+    np.testing.assert_allclose(np.asarray(hs.dist), np.asarray(hk.dist),
+                               rtol=1e-6)
+    lb_s2 = refit_lbvh(topo_s, *dv, leaf_size=4)
+    np.testing.assert_array_equal(np.asarray(lb_s2.nodes),
+                                  np.asarray(lb_s.nodes))
