@@ -22,7 +22,7 @@ import time
 NORTH_STAR_MRAYS = 200.0
 
 
-def bench_scene(flatten: bool = True):
+def bench_scene(flatten: bool = True, max_leaf_tris: int = 4):
     """BASELINE.json config-2 ladder scene: Cornell box + reference teapot
     asset (procedural sphere fallback), 512x512, 2 bounces, shadow rays.
 
@@ -56,7 +56,7 @@ def bench_scene(flatten: bool = True):
         sc.add_instance(m)
     from vortex_rt_tpu.utils.config import RTConfig
 
-    return sc.build(RTConfig(flatten=flatten))
+    return sc.build(RTConfig(flatten=flatten, max_leaf_tris=max_leaf_tris))
 
 
 def main() -> None:
@@ -64,10 +64,16 @@ def main() -> None:
 
     enable_persistent_cache()
 
+    import os
+
     from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
     from vortex_rt_tpu.models.scene import Camera, RenderParams
+    from vortex_rt_tpu.utils.config import RTConfig
 
-    sb = bench_scene()
+    # sweepable build knobs (tools/exp_width.py drives these)
+    bvh_width = int(os.environ.get("VORTEX_RT_BVH_WIDTH", "4"))
+    leaf = int(os.environ.get("VORTEX_RT_LEAF", "4"))
+    sb = bench_scene(max_leaf_tris=leaf)
     width = height = 512
     cam = Camera.look_at([0.05, 0.02, -3.2], [0.0, -0.05, 0.0], [0, 1, 0],
                          45.0, 1.0)
@@ -77,14 +83,13 @@ def main() -> None:
     # frames genuinely distinct (seeded stratified jitter).
     params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, shadow=True,
                           spp=2)
-    r = WavefrontRenderer.from_buffers(sb)
+    cfg = RTConfig(flatten=True, bvh_width=bvh_width, max_leaf_tris=leaf)
+    r = WavefrontRenderer.from_buffers(sb, cfg)
 
     burst = 16
     # compile-basin re-roll: redraw the burst program's HLO hash until a
     # fast artifact lands in the persistent cache (runtime.warmup;
     # docs/ARCHITECTURE.md rule 13).  Cached draws are free on re-runs.
-    import os
-
     from vortex_rt_tpu.runtime.warmup import reroll
 
     draws = int(os.environ.get("VORTEX_RT_BENCH_DRAWS", "3"))

@@ -21,6 +21,17 @@ import jax  # noqa: E402
 # the axon TPU plugin ignores the env var; force the platform explicitly
 jax.config.update("jax_platforms", "cpu")
 
+# drop the axon remote-TPU factory entirely (it is registered by
+# sitecustomize at interpreter start): when the TPU tunnel is down its
+# backend init sleeps in a dial-retry loop and wedges even cpu-only jax
+# use, which would hang the whole suite
+try:  # noqa: SIM105
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,133 @@
+"""8-wide BVH packets: bit-exact parity with the 4-wide flat engine.
+
+The closest-hit result is tree-shape-independent (same Moller-Trumbore
+math, same lexicographic (t, packed tid) tie-break), so the 8-wide walk
+must reproduce the 4-wide walk's hits EXACTLY — any deviation is a
+traversal soundness bug (missed child, wrong pop order, stack clobber).
+Capability match: RT_BVH_WIDTH is a build knob in the reference
+(hw/VX_config.toml:244); we support 4 and 8 on the flattened build.
+"""
+
+import numpy as np
+import pytest
+
+from vortex_rt_tpu.golden.renderer import brute_force_hits, generate_rays
+from vortex_rt_tpu.models.procedural import box, random_soup, uv_sphere
+from vortex_rt_tpu.models.scene import Camera, Scene
+from vortex_rt_tpu.ops.traverse_packet import trace_packets
+from vortex_rt_tpu.ops.traverse_wide import WideArrays
+from vortex_rt_tpu.utils import vecmath as vm
+from vortex_rt_tpu.utils.config import LARGE_FLOAT, RTConfig
+
+
+def _flat_scene(rng, ntris=300):
+    sc = Scene()
+    mb = sc.add_mesh(box((0, 0, 0), 1.0))
+    ms = sc.add_mesh(uv_sphere((0, 0, 0), 1.0, 10, 14))
+    mr = sc.add_mesh(random_soup(rng, ntris))
+    sc.add_instance(mb, vm.mat4_translate([-3, 0, 0]))
+    sc.add_instance(ms, vm.mat4_translate([3, 0, 0]) @ vm.mat4_scale(1.5))
+    sc.add_instance(mr, vm.mat4_translate([0, 0, 4]))
+    return sc
+
+
+def _pair(sb, leaf8=False):
+    wa4 = WideArrays.from_scene(sb, width=4)
+    wa8 = WideArrays.from_scene(sb, width=8)
+    assert wa8.width == 8
+    # 8-wide collapse must shrink the internal-node count
+    n_int4 = int((wa4.kind == 0).sum())
+    n_int8 = int((wa8.kind == 0).sum())
+    assert n_int8 < n_int4
+    return wa4, wa8
+
+
+def _assert_exact(h4, h8):
+    np.testing.assert_array_equal(np.asarray(h4.dist), np.asarray(h8.dist))
+    np.testing.assert_array_equal(np.asarray(h4.tri), np.asarray(h8.tri))
+    np.testing.assert_array_equal(np.asarray(h4.inst), np.asarray(h8.inst))
+
+
+def test_wide8_requires_flat(rng):
+    sc = _flat_scene(rng, 50)
+    sb = sc.build(RTConfig())  # TLAS mode
+    with pytest.raises(AssertionError):
+        WideArrays.from_scene(sb, width=8)
+
+
+def test_wide8_camera_parity(rng):
+    sb = _flat_scene(rng).build(RTConfig(flatten=True))
+    wa4, wa8 = _pair(sb)
+    cam = Camera.look_at([0.3, -0.6, -7], [0, 0, 0.5], [0, 1, 0], 45.0, 1.0)
+    o, d = generate_rays(cam, 32, 32)
+    h4, s4 = trace_packets(wa4, o, d, packet=64)
+    h8, s8 = trace_packets(wa8, o, d, packet=64)
+    _assert_exact(h4, h8)
+    assert int(s8) < int(s4)  # shallower tree -> fewer loop iterations
+    ref = brute_force_hits(o, d, sb)
+    np.testing.assert_array_equal(np.asarray(h8.dist) < LARGE_FLOAT,
+                                  ref["dist"] < LARGE_FLOAT)
+
+
+def test_wide8_incoherent_parity(rng):
+    sb = _flat_scene(rng).build(RTConfig(flatten=True))
+    wa4, wa8 = _pair(sb)
+    o = rng.uniform(-10, 10, (512, 3)).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    h4, _ = trace_packets(wa4, o, d, packet=32)
+    h8, _ = trace_packets(wa8, o, d, packet=32)
+    _assert_exact(h4, h8)
+
+
+def test_wide8_leaf8_parity(rng):
+    """8-wide nodes with 8-triangle leaves (the iteration-cut combo)."""
+    sc8 = _flat_scene(np.random.default_rng(7))
+    sc4 = _flat_scene(np.random.default_rng(7))  # identical geometry
+    sb = sc8.build(RTConfig(flatten=True, max_leaf_tris=8))
+    wa8 = WideArrays.from_scene(sb, width=8)
+    assert wa8.max_leaf_tris == 8
+    sb4 = sc4.build(RTConfig(flatten=True))
+    wa4 = WideArrays.from_scene(sb4, width=4)
+    cam = Camera.look_at([0.3, -0.6, -7], [0, 0, 0.5], [0, 1, 0], 45.0, 1.0)
+    o, d = generate_rays(cam, 24, 24)
+    h4, _ = trace_packets(wa4, o, d, packet=32)
+    h8, _ = trace_packets(wa8, o, d, packet=32)
+    # different Scene objects but same geometry/build determinism
+    _assert_exact(h4, h8)
+
+
+def test_wide8_occlusion_parity(rng):
+    sb = _flat_scene(rng).build(RTConfig(flatten=True))
+    wa4, wa8 = _pair(sb)
+    o = rng.uniform(-6, 6, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = rng.uniform(0.5, 12.0, 256).astype(np.float32)
+    h4, _ = trace_packets(wa4, o, d, packet=32, t_max=tmax, occlusion=True)
+    h8, _ = trace_packets(wa8, o, d, packet=32, t_max=tmax, occlusion=True)
+    np.testing.assert_array_equal(np.asarray(h4.dist), np.asarray(h8.dist))
+
+
+def test_wide8_mixed_wave_parity(rng):
+    sb = _flat_scene(rng).build(RTConfig(flatten=True))
+    wa4, wa8 = _pair(sb)
+    o = rng.uniform(-6, 6, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = np.full(256, 8.0, np.float32)
+    h4, _ = trace_packets(wa4, o, d, packet=32, t_max=tmax, occl_split=128)
+    h8, _ = trace_packets(wa8, o, d, packet=32, t_max=tmax, occl_split=128)
+    np.testing.assert_array_equal(np.asarray(h4.dist), np.asarray(h8.dist))
+    np.testing.assert_array_equal(np.asarray(h4.tri), np.asarray(h8.tri))
+
+
+def test_wide8_compaction_path(rng):
+    """Enough packets (b >= 64) to trigger straggler-compaction rounds."""
+    sb = _flat_scene(rng, 800).build(RTConfig(flatten=True))
+    wa4, wa8 = _pair(sb)
+    cam = Camera.look_at([0.3, -0.6, -7], [0, 0, 0.5], [0, 1, 0], 45.0, 1.0)
+    o, d = generate_rays(cam, 64, 64)  # 4096 rays / packet 32 = 128 packets
+    h4, _ = trace_packets(wa4, o, d, packet=32)
+    h8, _ = trace_packets(wa8, o, d, packet=32)
+    _assert_exact(h4, h8)

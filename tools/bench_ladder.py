@@ -41,19 +41,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _ladder_cfg(**kw):
+    """Ladder RTConfig with env-sweepable build knobs (the hardware
+    width/leaf sweep: VORTEX_RT_BVH_WIDTH=8 VORTEX_RT_LEAF=8 ladder)."""
+    import os
+
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    kw.setdefault("flatten", True)
+    kw.setdefault("bvh_width",
+                  int(os.environ.get("VORTEX_RT_BVH_WIDTH", "4")))
+    kw.setdefault("max_leaf_tris", int(os.environ.get("VORTEX_RT_LEAF", "4")))
+    return RTConfig(**kw)
+
+
 def _cornell(with_teapot):
     from bench import bench_scene
     from vortex_rt_tpu.models.procedural import cornell_box
     from vortex_rt_tpu.models.scene import Scene
 
-    from vortex_rt_tpu.utils.config import RTConfig
-
+    cfg = _ladder_cfg()
     if with_teapot:
-        return bench_scene()
+        return bench_scene(max_leaf_tris=cfg.max_leaf_tris)
     sc = Scene()
     for mesh, refl in cornell_box():
         sc.add_instance(sc.add_mesh(mesh), reflectivity=refl)
-    return sc.build(RTConfig(flatten=True))
+    return sc.build(cfg)
 
 
 def _bench_burst(r, cam, params, w, h, draws, reps=2, n_hi=16, n_lo=4):
@@ -126,7 +139,7 @@ def config1(draws):
     from vortex_rt_tpu.models.scene import RenderParams, Scene
 
     sb = _cornell(False)
-    r = WavefrontRenderer.from_buffers(sb)
+    r = WavefrontRenderer.from_buffers(sb, config=_ladder_cfg())
     cam = Scene.framing_camera(sb, 45.0, 1.0)
     p = RenderParams(max_depth=1, spp=2)
     rec = dict(config=1, scene="cornell", tris=sb.num_tris, res="256x256",
@@ -140,7 +153,7 @@ def config2(draws):
     from vortex_rt_tpu.models.scene import Camera, RenderParams
 
     sb = _cornell(True)
-    r = WavefrontRenderer.from_buffers(sb)
+    r = WavefrontRenderer.from_buffers(sb, config=_ladder_cfg())
     cam = Camera.look_at([0.05, 0.02, -3.2], [0.0, -0.05, 0.0], [0, 1, 0],
                          45.0, 1.0)
     p = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, spp=2,
@@ -156,8 +169,6 @@ def _scale_cfg(num, scene, spp, depth, draws, lbvh=False):
     from vortex_rt_tpu.models import bigscenes
     from vortex_rt_tpu.models.scene import RenderParams, Scene
 
-    from vortex_rt_tpu.utils.config import RTConfig
-
     sc = Scene()
     if scene == "bunny":
         sc.add_instance(sc.add_mesh(bigscenes.blob(n=187)))
@@ -167,7 +178,7 @@ def _scale_cfg(num, scene, spp, depth, draws, lbvh=False):
     # flat single-BVH build (the wavefront engine's production layout);
     # config 3 swaps in the on-device LBVH (itself flat) below.
     # bounce_packet 16: the 1080p d3 sweep optimum (config knob comment)
-    cfg = RTConfig(flatten=True, bounce_packet=16)
+    cfg = _ladder_cfg(bounce_packet=16)
     sb = sc.build(cfg)
     rec = dict(config=num, scene=scene, tris=sb.num_tris, res="1920x1080",
                spp=spp, depth=depth, shadow=True, pathtrace=True)
@@ -176,7 +187,8 @@ def _scale_cfg(num, scene, spp, depth, draws, lbvh=False):
         from vortex_rt_tpu.accel.lbvh import build_wide_from_tris
         t0 = time.time()
         r = WavefrontRenderer.from_buffers(sb, config=cfg)
-        r.wa = build_wide_from_tris(sb)
+        r.wa = build_wide_from_tris(sb, leaf_size=cfg.max_leaf_tris,
+                                    width=cfg.bvh_width)
         jax.block_until_ready(r.wa.nodes)
         rec["lbvh_build_s"] = round(time.time() - t0, 2)
     else:

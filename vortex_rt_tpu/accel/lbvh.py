@@ -93,8 +93,8 @@ class LBVHTopo(NamedTuple):
     order: jnp.ndarray      # (T,) Morton triangle permutation
     lchild: jnp.ndarray     # (T-1,) Karras left child (old ids)
     rchild: jnp.ndarray     # (T-1,)
-    surv: jnp.ndarray       # (T-1,) bool: survives the 4-wide collapse
-    ch_old: jnp.ndarray     # (T-1, 4) old ids of wide children (-1 = none)
+    surv: jnp.ndarray       # (T-1,) bool: survives the wide collapse
+    ch_old: jnp.ndarray     # (T-1, width) old ids of wide children (-1=none)
     arity: jnp.ndarray      # (T-1,)
     base: jnp.ndarray       # (T-1,) new id of first wide child (survivors)
     newid: jnp.ndarray      # (2T-1,) new id of surviving/cut nodes
@@ -319,18 +319,21 @@ def _range_refit(lmin, lmax, lo, hi):
     return bmin, bmax
 
 
-def _collapse4(lchild, rchild, lo, hi, l, max_leaf):
-    """Subtree-cut + even-depth collapse of the binary Karras tree.
+def _collapse_wide(lchild, rchild, lo, hi, l, max_leaf, width=4):
+    """Subtree-cut + depth-stride collapse of the binary Karras tree.
 
     An internal node whose range covers <= ``max_leaf`` triangles is
     "leafish"; MAXIMAL leafish nodes (leafish with a non-leafish parent)
     become wide leaves — their triangle ranges are contiguous in Morton
     order, so every leaf is a cluster the radix tree itself chose
     (near-SAH leaf quality) instead of a fixed Morton 4-chunk.  Above
-    the cut, even-depth internals survive and adopt their grandchildren.
+    the cut, internals at depth % log2(width) == 0 survive and adopt
+    their depth-2 (width 4: grandchildren) or depth-3 (width 8:
+    great-grandchildren) descendants, clipped at the cut.
 
     Returns (surv, ch_old, arity, base, newid, row_lo, row_cnt,
     leaf_newid) — see LBVHTopo."""
+    assert width in (4, 8)
     n_nodes = 2 * l - 1
     i_idx = jnp.arange(l - 1, dtype=jnp.int32)
     parent = jnp.zeros(n_nodes, jnp.int32).at[lchild].set(i_idx)
@@ -355,7 +358,8 @@ def _collapse4(lchild, rchild, lo, hi, l, max_leaf):
         lambda c: jnp.logical_and(~c[2].all(), c[1] < 192), body,
         (depth, jnp.int32(0), ready))
 
-    surv = ~leafish & ((depth % 2) == 0)
+    stride = 2 if width == 4 else 3
+    surv = ~leafish & ((depth % stride) == 0)
 
     def is_lf(c):
         """Old id -> becomes a wide leaf (triangle leaf or cut subtree)."""
@@ -367,22 +371,56 @@ def _collapse4(lchild, rchild, lo, hi, l, max_leaf):
     rc_s = jnp.clip(rchild, 0, l - 2)
     a_left = jnp.where(is_leaf_l, 1, 2)
     a_right = jnp.where(is_leaf_r, 1, 2)
-    arity = a_left + a_right
+    arity4 = a_left + a_right
 
     left0 = jnp.where(is_leaf_l, lchild, lchild[lc_s])
     left1 = jnp.where(is_leaf_l, -1, rchild[lc_s])
     right0 = jnp.where(is_leaf_r, rchild, lchild[rc_s])
     right1 = jnp.where(is_leaf_r, -1, rchild[rc_s])
 
-    def slot(t):
+    def slot4(t):
         in_left = t < a_left
         li = jnp.where(t == 0, left0, left1)
         u = t - a_left
         ri = jnp.where(u == 0, right0, jnp.where(u == 1, right1, -1))
-        return jnp.where(in_left, li, jnp.where(t < arity, ri, -1))
+        return jnp.where(in_left, li, jnp.where(t < arity4, ri, -1))
 
-    ch_old = jnp.stack([slot(jnp.full(l - 1, t, jnp.int32))
-                        for t in range(4)], axis=1)
+    ch4 = jnp.stack([slot4(jnp.full(l - 1, t, jnp.int32))
+                     for t in range(4)], axis=1)
+
+    if width == 4:
+        ch_old, arity = ch4, arity4
+    else:
+        # depth-3 expansion per node = concat over its two binary
+        # children c of ([c] if c is a wide leaf else c's own depth-2
+        # expansion ch4[c]); ch4 rows carry -1 beyond arity4, so a
+        # bounded column select reads valid ids for every t < arity
+        a_l8 = jnp.where(is_leaf_l, 1, arity4[lc_s])
+        a_r8 = jnp.where(is_leaf_r, 1, arity4[rc_s])
+        arity = a_l8 + a_r8
+        ch4_l = ch4[lc_s]                       # (l-1, 4)
+        ch4_r = ch4[rc_s]
+
+        def sel4(m, t):
+            tc = jnp.clip(t, 0, 3)
+            r = m[:, 0]
+            for i in (1, 2, 3):
+                r = jnp.where(tc == i, m[:, i], r)
+            return r
+
+        def slot8(t):
+            lt = jnp.where(is_leaf_l,
+                           jnp.where(t == 0, lchild, -1),
+                           sel4(ch4_l, t))
+            u = t - a_l8
+            rt = jnp.where(is_leaf_r,
+                           jnp.where(u == 0, rchild, -1),
+                           sel4(ch4_r, u))
+            return jnp.where(t < a_l8, lt,
+                             jnp.where(t < arity, rt, -1))
+
+        ch_old = jnp.stack([slot8(jnp.full(l - 1, t, jnp.int32))
+                            for t in range(8)], axis=1)
 
     # new ids: root = 0; survivor children get contiguous slots after an
     # exclusive prefix sum of survivor arities
@@ -390,7 +428,7 @@ def _collapse4(lchild, rchild, lo, hi, l, max_leaf):
     base = 1 + jnp.cumsum(contrib) - contrib  # exclusive prefix + root slot
 
     newid = jnp.full(n_nodes, -1, jnp.int32).at[0].set(0)
-    for t in range(4):
+    for t in range(width):
         idx = ch_old[:, t]
         val = base + t
         ok = surv & (idx >= 0)
@@ -422,16 +460,22 @@ def _f32bits(x):
 
 
 def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size,
-               root_offset: int = 0):
-    """Quantize + scatter 4-wide records (old boxes -> new-id pool).
+               root_offset: int = 0, width: int = 4):
+    """Quantize + scatter wide records (old boxes -> new-id pool).
 
     Same e = ceil(log2(extent/255)) floor/ceil quantization rule as the
-    reference (bvh.cpp:215-264) and the static packer (accel.qbvh)."""
+    reference (bvh.cpp:215-264) and the static packer (accel.qbvh).
+    ``width`` selects the packed row layout (ops.traverse_wide
+    _row_layout): 4-wide meta at word 14, 8-wide at word 22."""
+    w = width
+    lb = _LEFT_BITS if w == 4 else 25
+    qoff, hoff = 6, 6 + w
+    moff, loff = 6 + 2 * w, 6 + 2 * w + 1
     n_nodes = 2 * l - 1
     surv, ch_old, arity, base = (topo.surv, topo.ch_old, topo.arity,
                                  topo.base)
     ch_s = jnp.clip(ch_old, 0, n_nodes - 1)
-    cmin = bmin[ch_s]          # (l-1, 4, 3)
+    cmin = bmin[ch_s]          # (l-1, w, 3)
     cmax = bmax[ch_s]
     present = (ch_old >= 0)[..., None]
     org = jnp.where(present, cmin, jnp.inf).min(1)
@@ -464,16 +508,16 @@ def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size,
     srec = srec.at[:, 5].set(_f32bits(scale[:, 2]))
     qlo = qpack(cmin, True)
     qhi = qpack(cmax, False)
-    for c in range(4):
-        srec = srec.at[:, 6 + c].set(jnp.where(ch_old[:, c] >= 0,
-                                               qlo[:, c], 0))
-        srec = srec.at[:, 10 + c].set(jnp.where(ch_old[:, c] >= 0,
-                                                qhi[:, c], 0))
+    for c in range(w):
+        srec = srec.at[:, qoff + c].set(jnp.where(ch_old[:, c] >= 0,
+                                                  qlo[:, c], 0))
+        srec = srec.at[:, hoff + c].set(jnp.where(ch_old[:, c] >= 0,
+                                                  qhi[:, c], 0))
     # left_first in the merged pool (root_offset = 1 when a TLAS root
     # record is prepended, 0 for the flat single-tree layout)
     merged_left = (base + root_offset).astype(jnp.uint32)
-    srec = srec.at[:, 14].set(
-        merged_left | (arity.astype(jnp.uint32) << _LEFT_BITS)
+    srec = srec.at[:, moff].set(
+        merged_left | (arity.astype(jnp.uint32) << lb)
         | (jnp.uint32(KIND_INTERNAL) << 29))
     sid = topo.newid[: l - 1]
     rec = rec.at[jnp.where(surv, sid, n_nodes)].set(
@@ -482,10 +526,10 @@ def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size,
     # leaf records (one per cut-subtree row) at their new ids
     leaf_first = jnp.arange(l, dtype=jnp.uint32)
     lrec = jnp.zeros((l, 32), jnp.uint32)
-    lrec = lrec.at[:, 14].set(
-        leaf_first | (jnp.uint32(1) << _LEFT_BITS)
+    lrec = lrec.at[:, moff].set(
+        leaf_first | (jnp.uint32(1) << lb)
         | (jnp.uint32(KIND_TRIS) << 29))
-    lrec = lrec.at[:, 15].set(topo.row_cnt.astype(jnp.uint32))
+    lrec = lrec.at[:, loff].set(topo.row_cnt.astype(jnp.uint32))
     lid = topo.leaf_newid
     used = lid >= 0
     rec = rec.at[jnp.where(used, lid, n_nodes)].set(
@@ -493,14 +537,14 @@ def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size,
     return rec
 
 
-def _leaf_rows(v0, v1, v2, order, row_lo, row_cnt, l):
-    """(l, 64) packed leaf rows: row j holds the ``row_cnt[j]`` triangles
-    at sorted slots row_lo[j].. (contiguous Morton range of one cut
-    subtree); empty slots are zero-area degenerates (never hit)."""
+def _leaf_rows(v0, v1, v2, order, row_lo, row_cnt, l, leaf_size=4):
+    """(l, 16*leaf_size) packed leaf rows: row j holds the ``row_cnt[j]``
+    triangles at sorted slots row_lo[j].. (contiguous Morton range of one
+    cut subtree); empty slots are zero-area degenerates (never hit)."""
     t = v0.shape[0]
-    k = jnp.arange(4, dtype=jnp.int32)
+    k = jnp.arange(leaf_size, dtype=jnp.int32)
     idx = jnp.clip(row_lo[:, None] + k[None, :], 0, t - 1)
-    tid = order[idx]                            # (l, 4) global tri ids
+    tid = order[idx]                            # (l, leaf_size) global ids
     valid = k[None, :] < row_cnt[:, None]
     sv0 = v0[tid]
     se1 = v1[tid] - sv0
@@ -511,8 +555,8 @@ def _leaf_rows(v0, v1, v2, order, row_lo, row_cnt, l):
     se2 = jnp.where(zero, 0.0, se2)
     tids = jax.lax.bitcast_convert_type(
         jnp.where(valid, tid, -1), jnp.float32)
-    rows = jnp.zeros((l, 64), jnp.float32)
-    for c in range(4):
+    rows = jnp.zeros((l, 16 * leaf_size), jnp.float32)
+    for c in range(leaf_size):
         rows = rows.at[:, 16 * c: 16 * c + 3].set(sv0[:, c])
         rows = rows.at[:, 16 * c + 3: 16 * c + 6].set(se1[:, c])
         rows = rows.at[:, 16 * c + 6: 16 * c + 9].set(se2[:, c])
@@ -539,9 +583,10 @@ def _leaf_boxes(v0, v1, v2, order):
     return tmin, tmax
 
 
-@partial(jax.jit, static_argnames=("leaf_size", "method"))
+@partial(jax.jit, static_argnames=("leaf_size", "method", "width"))
 def build_lbvh_topo(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
-                    leaf_size: int = 4, method: str = "karras"):
+                    leaf_size: int = 4, method: str = "karras",
+                    width: int = 4):
     """Device BVH build -> (LBVHNodes, LBVHTopo).  ``leaf_size`` is the
     MAXIMUM triangles per wide leaf (subtree-cut leaves are 1..leaf_size
     contiguous Morton slots).
@@ -575,17 +620,19 @@ def build_lbvh_topo(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
         lcodes = codes[order]
         lchild, rchild, lo, hi = _karras(lcodes, l)
     (surv, ch_old, arity, base, newid, row_lo, row_cnt,
-     leaf_newid) = _collapse4(lchild, rchild, lo, hi, l, leaf_size)
+     leaf_newid) = _collapse_wide(lchild, rchild, lo, hi, l, leaf_size,
+                                  width=width)
     topo = LBVHTopo(order=order, lchild=lchild, rchild=rchild, surv=surv,
                     ch_old=ch_old, arity=arity, base=base, newid=newid,
                     row_lo=row_lo, row_cnt=row_cnt, leaf_newid=leaf_newid,
                     lo=lo, hi=hi)
-    return refit_lbvh(topo, v0, v1, v2, leaf_size=leaf_size), topo
+    return refit_lbvh(topo, v0, v1, v2, leaf_size=leaf_size,
+                      width=width), topo
 
 
-@partial(jax.jit, static_argnames=("leaf_size", "tlas"))
+@partial(jax.jit, static_argnames=("leaf_size", "tlas", "width"))
 def refit_lbvh(topo: LBVHTopo, v0, v1, v2, leaf_size: int = 4,
-               tlas: bool = False) -> LBVHNodes:
+               tlas: bool = False, width: int = 4) -> LBVHNodes:
     """Refit-only fast path: keep the topology, recompute boxes +
     requantize + repack.  No argsort, no Karras searches — the per-frame
     animation update (BASELINE config 5; the reference has no analog,
@@ -602,24 +649,26 @@ def refit_lbvh(topo: LBVHTopo, v0, v1, v2, leaf_size: int = 4,
     # old-id layout expected by _pack_wide: internals 0..l-2, leaves after
     bmin = jnp.concatenate([imin, lmin])
     bmax = jnp.concatenate([imax, lmax])
+    assert not (tlas and width != 4), "TLAS wrapper is 4-wide only"
     blas = _pack_wide(topo, bmin, bmax, l, leaf_size,
-                      root_offset=1 if tlas else 0)
+                      root_offset=1 if tlas else 0, width=width)
     nodes = jnp.concatenate([_tlas_root(), blas]) if tlas else blas
-    rows = _leaf_rows(v0, v1, v2, topo.order, topo.row_lo, topo.row_cnt, l)
+    rows = _leaf_rows(v0, v1, v2, topo.order, topo.row_lo, topo.row_cnt, l,
+                      leaf_size=leaf_size)
     return LBVHNodes(nodes=nodes, tri_rows=rows,
                      num_leaves=(topo.row_cnt > 0).sum())
 
 
-@partial(jax.jit, static_argnames=("leaf_size",))
+@partial(jax.jit, static_argnames=("leaf_size", "width"))
 def build_lbvh(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
-               leaf_size: int = 4) -> LBVHNodes:
-    """Device BVH build over triangles (T, 3)x3 -> packed 4-wide pool."""
-    lb, _ = build_lbvh_topo(v0, v1, v2, leaf_size=leaf_size)
+               leaf_size: int = 4, width: int = 4) -> LBVHNodes:
+    """Device BVH build over triangles (T, 3)x3 -> packed wide pool."""
+    lb, _ = build_lbvh_topo(v0, v1, v2, leaf_size=leaf_size, width=width)
     return lb
 
 
 def wide_arrays_from_lbvh(lb: LBVHNodes, leaf_size: int = 4,
-                          tlas: bool = False):
+                          tlas: bool = False, width: int = 4):
     """Wrap a device-built LBVH as a traversal-ready WideArrays (the
     dynamic-scene path of the framework).  ``tlas`` must match the
     build/refit call; the default flat layout reports tri ids directly
@@ -638,13 +687,16 @@ def wide_arrays_from_lbvh(lb: LBVHNodes, leaf_size: int = 4,
             int(np.ceil(np.log2(max(t * leaf_size, 2)))), 1),
         max_leaf_tris=leaf_size,
         # binary Karras depth is bounded by the augmented-key prefix
-        # length (delta <= 32 + 26 for l < 2^26 leaves); the even-depth
-        # collapse halves it, so 32 covers every buildable tree
-        depth=32,
+        # length (delta <= 32 + 26 for l < 2^26 leaves); the depth-stride
+        # collapse divides it by 2 (width 4) or 3 (width 8).  The bound
+        # feeds the packet engine's stack size, so tighter = smaller
+        # shift registers = faster compiles and steps
+        depth=32 if width == 4 else 22,
+        width=width,
     )
 
 
-def tree_surface_area(nodes) -> float:
+def tree_surface_area(nodes, width: int = 4) -> float:
     """Total dequantized child-AABB surface area of a packed node pool —
     the SAH-cost proxy used for refit staleness: a refit tree's boxes
     stay tight per node but the TOPOLOGY decays as geometry drifts from
@@ -653,12 +705,13 @@ def tree_surface_area(nodes) -> float:
     n = np.asarray(nodes)
     origin = n[:, 0:3].view(np.float32)
     scale = n[:, 3:6].view(np.float32)
-    meta = n[:, 14]
-    nch = (meta >> _LEFT_BITS) & 7
+    lb = _LEFT_BITS if width == 4 else 25
+    meta = n[:, 6 + 2 * width]
+    nch = (meta >> lb) & (7 if width == 4 else 15)
     total = 0.0
-    for c in range(4):
+    for c in range(width):
         ql = n[:, 6 + c]
-        qh = n[:, 10 + c]
+        qh = n[:, 6 + width + c]
         lo = np.stack([(ql >> s) & 255 for s in (0, 8, 16)], -1)
         hi = np.stack([(qh >> s) & 255 for s in (0, 8, 16)], -1)
         ext = np.maximum((hi - lo) * scale, 0.0)
@@ -681,7 +734,7 @@ def refit_staleness(topo: LBVHTopo, v0, v1, v2,
     return tree_surface_area(refit.nodes) / max(a_fresh, 1e-30)
 
 
-def build_wide_from_tris(sb, leaf_size: int = 4):
+def build_wide_from_tris(sb, leaf_size: int = 4, width: int = 4):
     """Scene -> traversal-ready WideArrays via the ON-DEVICE LBVH build
     (BASELINE config 3: "on-device LBVH build").  Valid for single-
     identity-instance scenes (the LBVH path builds in triangle space);
@@ -691,8 +744,8 @@ def build_wide_from_tris(sb, leaf_size: int = 4):
         "LBVH direct build needs a single identity instance"
     v0, v1, v2 = pad_tris(sb.v0, sb.v1, sb.v2, leaf_size)
     lb = build_lbvh(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
-                    leaf_size=leaf_size)
-    return wide_arrays_from_lbvh(lb, leaf_size)
+                    leaf_size=leaf_size, width=width)
+    return wide_arrays_from_lbvh(lb, leaf_size, width=width)
 
 
 def pad_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,

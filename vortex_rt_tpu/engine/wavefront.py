@@ -1067,7 +1067,7 @@ class WavefrontRenderer:
         cfg = config or RTConfig()
         return WavefrontRenderer(
             sb=jax.tree.map(jnp.asarray, sb_host),
-            wa=WideArrays.from_scene(sb_host),
+            wa=WideArrays.from_scene(sb_host, width=cfg.bvh_width),
             sa=ShadeArrays.from_scene(sb_host),
             config=cfg,
             table=table or ShaderTable(),

@@ -60,9 +60,18 @@ import numpy as np
 from vortex_rt_tpu.accel import qbvh
 from vortex_rt_tpu.ops.traverse2 import Hits
 from vortex_rt_tpu.ops.traverse_wide import (
-    WIDTH, WideArrays, _INT_MAX, _LEFT_BITS, _LEFT_MASK,
-    _MISS, _at_pos, _bitcast_f32, _bitcast_i32, _rcp_lane,
+    WIDTH, WideArrays, _INT_MAX, _LEFT_BITS, _LEFT_BITS8, _LEFT_MASK,
+    _MISS, _at_pos, _bitcast_f32, _bitcast_i32, _rcp_lane, _row_layout,
 )
+
+# descending sorting networks (far -> near) over the child-slot lanes;
+# comparator counts are optimal (5 for 4 inputs, 19 for 8 — Knuth 5.3.4)
+_SORT_NET = {
+    4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+    8: ((0, 2), (1, 3), (4, 6), (5, 7), (0, 4), (1, 5), (2, 6), (3, 7),
+        (0, 1), (2, 3), (4, 5), (6, 7), (2, 4), (3, 5), (1, 4), (3, 6),
+        (1, 2), (3, 4), (5, 6)),
+}
 
 
 def _stack_push_n(st, count, entry, mask):
@@ -158,8 +167,17 @@ def trace_packets(
     # i32 compare IS the (inst, tri) lexicographic tie-break
     flat = wa.num_tlas == 0 and wa.tri_bits > 0
     n_pool = int(wa.nodes.shape[0])
-    # packed-stack word layout: left_first << 8 | count << 6 | 3x2b slots
-    assert n_pool < (1 << 23), "node pool exceeds packed-stack id budget"
+    w_ = int(wa.width)
+    assert w_ == 4 or flat, "8-wide packets require the flattened build"
+    qoff, hoff, moff, loff, _ = _row_layout(w_)
+    lbits, nmask = (_LEFT_BITS, 7) if w_ == 4 else (_LEFT_BITS8, 15)
+    lmask = (1 << lbits) - 1
+    # packed-stack word layouts:
+    #   width 4: ONE word  = left << 8 | count << 6 | 3x2b sorted slots
+    #   width 8: TWO words = (left << 4 | count, 7x3b sorted slots) —
+    #            7 deferred slots don't fit beside left in one i32
+    assert n_pool < (1 << (23 if w_ == 4 else 26)), \
+        "node pool exceeds packed-stack id budget"
     n_leaf_rows = int(wa.tri_rows.shape[0])
     lmax = max(int(wa.max_leaf_tris), 1)
     eps = jnp.float32(MT_EPSILON)
@@ -182,6 +200,8 @@ def trace_packets(
         node=zi,
         stack=(zi,) * stack_n, scount=zi,
     )
+    if w_ == 8:
+        state.update(stack2=(zi,) * stack_n)
     if not flat:
         state.update(
             inst=zi,
@@ -243,11 +263,11 @@ def trace_packets(
             act = ~s["done"]
             node = jnp.clip(s["node"], 0, n_pool - 1)
             rowt = wa.nodes[node].T                 # (32, B): tiny gather
-            meta = rowt[14]
+            meta = rowt[moff]
             kind = (meta >> 29).astype(jnp.int32)
-            nch = ((meta >> _LEFT_BITS) & 7).astype(jnp.int32)
-            left = (meta & _LEFT_MASK).astype(jnp.int32)
-            leaf_data = _bitcast_i32(rowt[15])
+            nch = ((meta >> lbits) & nmask).astype(jnp.int32)
+            left = (meta & lmask).astype(jnp.int32)
+            leaf_data = _bitcast_i32(rowt[loff])
             is_int = act & (kind == qbvh.KIND_INTERNAL)
             is_tri = act & (kind == qbvh.KIND_TRIS)
             stack, scount = s["stack"], s["scount"]
@@ -272,8 +292,8 @@ def trace_packets(
                           _bitcast_f32(rowt[2]))            # (B,)
             sx, sy, sz = (_bitcast_f32(rowt[3]), _bitcast_f32(rowt[4]),
                           _bitcast_f32(rowt[5]))
-            qlc = jnp.stack([rowt[6 + c] for c in range(WIDTH)])     # (C, B)
-            qhc = jnp.stack([rowt[10 + c] for c in range(WIDTH)])
+            qlc = jnp.stack([rowt[qoff + c] for c in range(w_)])     # (C, B)
+            qhc = jnp.stack([rowt[hoff + c] for c in range(w_)])
 
             def corner(q, sh, g, sc):  # (C, B) packed bytes -> (C, B, 1)
                 f = ((q >> sh) & 255).astype(jnp.float32) if sh else \
@@ -300,16 +320,16 @@ def trace_packets(
             # dead/retired lanes fail tmin < best_t (= -LARGE_FLOAT)
             hc = (tmax >= tmin) & (tmax > 0.0) & (tmin < s["best_t"][None])
             any_hit = (jnp.any(hc, axis=2)
-                       & (jnp.arange(WIDTH, dtype=jnp.int32)[:, None]
+                       & (jnp.arange(w_, dtype=jnp.int32)[:, None]
                           < nch[None]))                     # (C, B)
             pd = jnp.min(jnp.where(hc, tmin, LARGE_FLOAT), axis=2)
             pdm = jnp.where(any_hit, pd, _MISS)
-            dists = [pdm[c] for c in range(WIDTH)]
-            idxs = [jnp.full(b, c, jnp.int32) for c in range(WIDTH)]
+            dists = [pdm[c] for c in range(w_)]
+            idxs = [jnp.full(b, c, jnp.int32) for c in range(w_)]
             m = sum((dd > _MISS).astype(jnp.int32) for dd in dists)
 
             # far -> near by packet-min entry distance (desc sorting network)
-            for a_i, b_i in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            for a_i, b_i in _SORT_NET[w_]:
                 swap = dists[a_i] < dists[b_i]
                 da, db = dists[a_i], dists[b_i]
                 ia, ib = idxs[a_i], idxs[b_i]
@@ -323,16 +343,28 @@ def trace_packets(
             want_pop_int = is_int & (m < 1)
             child_slot = _at_pos(idxs, pos_closest)
             next_int = left + child_slot
-            # defer the other m-1 children in ONE packed word (near-first
+            # defer the other m-1 children in packed words (near-first
             # pop order: field (count-1) is read first = idxs[m-2], the
             # nearest deferred child — identical visit order to pushing
             # far->near entries individually)
-            cnt_def = jnp.clip(m - 1, 0, 3)
-            word = ((left << 8) | (cnt_def << 6)
-                    | (idxs[0] & 3) | ((idxs[1] & 3) << 2)
-                    | ((idxs[2] & 3) << 4))
-            stack, scount = _stack_push_n(stack, scount, word,
-                                          descend & (cnt_def >= 1))
+            if w_ == 4:
+                cnt_def = jnp.clip(m - 1, 0, 3)
+                word = ((left << 8) | (cnt_def << 6)
+                        | (idxs[0] & 3) | ((idxs[1] & 3) << 2)
+                        | ((idxs[2] & 3) << 4))
+                stack, scount = _stack_push_n(stack, scount, word,
+                                              descend & (cnt_def >= 1))
+            else:
+                cnt_def = jnp.clip(m - 1, 0, 7)
+                word0 = (left << 4) | cnt_def
+                word1 = idxs[0] & 7
+                for j in range(1, 7):
+                    word1 = word1 | ((idxs[j] & 7) << (3 * j))
+                push_mask = descend & (cnt_def >= 1)
+                stack2 = s["stack2"]
+                stack2, _ = _stack_push_n(stack2, scount, word1, push_mask)
+                stack, scount = _stack_push_n(stack, scount, word0,
+                                              push_mask)
 
             if flat:
                 lox, loy, loz = ox, oy, oz
@@ -462,16 +494,27 @@ def trace_packets(
             dead = want_pop & empty        # stack drained => walk complete
             do_pop = want_pop & ~empty
             top = stack[0]
-            c_top = (top >> 6) & 3
-            slot = (top >> (2 * jnp.maximum(c_top - 1, 0))) & 3
-            node_pop = (top >> 8) + slot
-            # 2 of 3 pops just decrement the top word's count field in place;
-            # the last child of a word pops the word off the shift register
-            partial = do_pop & (c_top > 1)
-            s0 = jnp.where(partial, top - 64, top)
-            stack = (s0,) + tuple(stack[1:])
-            _, stack, scount = _stack_pop_n(stack, scount,
-                                            do_pop & (c_top <= 1))
+            if w_ == 4:
+                c_top = (top >> 6) & 3
+                slot = (top >> (2 * jnp.maximum(c_top - 1, 0))) & 3
+                node_pop = (top >> 8) + slot
+                # most pops just decrement the top word's count field in
+                # place; the last child pops the word off the register
+                partial = do_pop & (c_top > 1)
+                s0 = jnp.where(partial, top - 64, top)
+                stack = (s0,) + tuple(stack[1:])
+                _, stack, scount = _stack_pop_n(stack, scount,
+                                                do_pop & (c_top <= 1))
+            else:
+                c_top = top & 15
+                slot = (stack2[0] >> (3 * jnp.maximum(c_top - 1, 0))) & 7
+                node_pop = (top >> 4) + slot
+                partial = do_pop & (c_top > 1)
+                s0 = jnp.where(partial, top - 1, top)
+                stack = (s0,) + tuple(stack[1:])
+                full_pop = do_pop & (c_top <= 1)
+                _, stack2, _ = _stack_pop_n(stack2, scount, full_pop)
+                _, stack, scount = _stack_pop_n(stack, scount, full_pop)
             nxt = jnp.where(do_pop, node_pop, nxt)
 
             done = s["done"] | dead
@@ -492,6 +535,8 @@ def trace_packets(
             s.update(node=nxt, stack=stack, scount=scount,
                      best_t=best_t, bx=bx, by=by, tri=tri,
                      done=done, steps=s["steps"] + 1)
+            if w_ == 8:
+                s.update(stack2=stack2)
             if not flat:
                 s.update(inst=inst, lox=lox, loy=loy, loz=loz,
                          ldx=ldx_, ldy=ldy_, ldz=ldz_,

@@ -69,9 +69,23 @@ ID_MASK = np.int32((1 << 30) - 1)
 _INT_MAX = np.int32(2**31 - 1)
 _MISS = np.float32(-LARGE_FLOAT)  # sort key for culled children (desc sort)
 
-# meta word layout (slot 14): left_first | nchild << 26 | kind << 29
+# meta word layout, width 4 (slot 14): left_first | nchild << 26 | kind << 29
 _LEFT_BITS = 26
 _LEFT_MASK = (1 << _LEFT_BITS) - 1
+# meta word layout, width 8 (slot 22): left_first | nchild << 25 | kind << 29
+# (nchild needs 4 bits for 8 children; left budget drops to 25 bits = 32M)
+_LEFT_BITS8 = 25
+_LEFT_MASK8 = (1 << _LEFT_BITS8) - 1
+
+
+def _row_layout(width: int):
+    """Packed node-row geometry: (qlo_off, qhi_off, meta_off, leaf_off,
+    base) where ``base`` is the first word after the node fields (the
+    instance block for width 4, or inline leaf fields when fused)."""
+    if width == 4:
+        return 6, 10, 14, 15, 16
+    assert width == 8
+    return 6, 14, 22, 23, 24
 
 
 # ---------------------------------------------------------------------------
@@ -95,23 +109,36 @@ class WideArrays:
     # tids pack (inst << tri_bits) | tri.  0 = TLAS mode (unpacked ids)
     tri_bits: int = dataclasses.field(default=0,
                                       metadata=dict(static=True))
+    # children per node (4 or 8); 8-wide requires the flattened build
+    # (instance rows don't fit next to 8 child boxes in a 128-byte row)
+    width: int = dataclasses.field(default=4, metadata=dict(static=True))
+
+    def _meta_bits(self):
+        return (_LEFT_BITS, 7) if self.width == 4 else (_LEFT_BITS8, 15)
 
     # ---- host-side unpacked views (tests / debugging) ----
     @property
     def kind(self) -> np.ndarray:
-        return (np.asarray(self.nodes[:, 14]) >> 29).astype(np.int32)
+        moff = _row_layout(self.width)[2]
+        return (np.asarray(self.nodes[:, moff]) >> 29).astype(np.int32)
 
     @property
     def nchild(self) -> np.ndarray:
-        return ((np.asarray(self.nodes[:, 14]) >> _LEFT_BITS) & 7).astype(np.int32)
+        moff = _row_layout(self.width)[2]
+        lb, nm = self._meta_bits()
+        return ((np.asarray(self.nodes[:, moff]) >> lb) & nm).astype(np.int32)
 
     @property
     def left_first(self) -> np.ndarray:
-        return (np.asarray(self.nodes[:, 14]) & _LEFT_MASK).astype(np.int32)
+        moff = _row_layout(self.width)[2]
+        lb, _ = self._meta_bits()
+        mask = (1 << lb) - 1
+        return (np.asarray(self.nodes[:, moff]) & mask).astype(np.int32)
 
     @property
     def leaf_data(self) -> np.ndarray:
-        return np.asarray(self.nodes[:, 15]).view(np.int32)
+        loff = _row_layout(self.width)[3]
+        return np.asarray(self.nodes[:, loff]).view(np.int32)
 
     @property
     def origin(self) -> np.ndarray:
@@ -123,15 +150,17 @@ class WideArrays:
 
     @property
     def qlo(self) -> np.ndarray:
-        q = np.asarray(self.nodes[:, 6:10])
+        qoff, hoff = _row_layout(self.width)[:2]
+        q = np.asarray(self.nodes[:, qoff:hoff])
         return np.stack([(q >> s) & 255 for s in (0, 8, 16)],
-                        axis=-1).reshape(-1, WIDTH * 3).astype(np.uint8)
+                        axis=-1).reshape(-1, self.width * 3).astype(np.uint8)
 
     @property
     def qhi(self) -> np.ndarray:
-        q = np.asarray(self.nodes[:, 10:14])
+        qoff, hoff, moff = _row_layout(self.width)[:3]
+        q = np.asarray(self.nodes[:, hoff:moff])
         return np.stack([(q >> s) & 255 for s in (0, 8, 16)],
-                        axis=-1).reshape(-1, WIDTH * 3).astype(np.uint8)
+                        axis=-1).reshape(-1, self.width * 3).astype(np.uint8)
 
     @property
     def leaf_tids(self) -> np.ndarray:
@@ -141,8 +170,11 @@ class WideArrays:
                         axis=1).view(np.int32)
 
     @staticmethod
-    def from_scene(sb: SceneBuffers) -> "WideArrays":
+    def from_scene(sb: SceneBuffers, width: int = 4) -> "WideArrays":
         flat = bool(getattr(sb, "flat", False))
+        assert width in (4, 8), f"unsupported BVH width {width}"
+        assert width == 4 or flat, \
+            "8-wide nodes require the flattened build (RTConfig.flatten)"
         tri_bits = 0
         if flat:
             # flattened scene: ONE world-space BLAS, no TLAS/instance
@@ -150,7 +182,7 @@ class WideArrays:
             # keep per-instance material/shading ids
             wb = qbvh.collapse_flat(
                 sb.bvh_min, sb.bvh_max, sb.bvh_left, sb.bvh_count,
-                roots=[0], leaf_kind=qbvh.KIND_TRIS,
+                roots=[0], leaf_kind=qbvh.KIND_TRIS, width=width,
             )
             k = 0
             origin = wb.origin.astype(np.float32)
@@ -239,20 +271,22 @@ class WideArrays:
         leaf_row_of = np.zeros(n, np.int64)
         leaf_row_of[leaf_ids] = np.arange(len(leaf_ids))
         left = np.where(is_leaf, leaf_row_of, left)
-        assert (left >= 0).all() and (left < (1 << _LEFT_BITS)).all(), \
-            "node/leaf pool exceeds 26-bit left_first budget"
+        lb = _LEFT_BITS if width == 4 else _LEFT_BITS8
+        assert (left >= 0).all() and (left < (1 << lb)).all(), \
+            f"node/leaf pool exceeds {lb}-bit left_first budget"
 
+        qoff, hoff, moff, loff, _ = _row_layout(width)
         nodes = np.zeros((n, 32), np.uint32)
         nodes[:, 0:3] = origin.view(np.uint32)
         nodes[:, 3:6] = scale.view(np.uint32)
-        for c in range(WIDTH):
-            nodes[:, 6 + c] = (qlo[:, 3 * c] | (qlo[:, 3 * c + 1] << 8)
-                               | (qlo[:, 3 * c + 2] << 16))
-            nodes[:, 10 + c] = (qhi[:, 3 * c] | (qhi[:, 3 * c + 1] << 8)
-                                | (qhi[:, 3 * c + 2] << 16))
-        nodes[:, 14] = (left.astype(np.uint32)
-                        | (nchild << _LEFT_BITS) | (kind << 29))
-        nodes[:, 15] = leaf.astype(np.uint32)
+        for c in range(width):
+            nodes[:, qoff + c] = (qlo[:, 3 * c] | (qlo[:, 3 * c + 1] << 8)
+                                  | (qlo[:, 3 * c + 2] << 16))
+            nodes[:, hoff + c] = (qhi[:, 3 * c] | (qhi[:, 3 * c + 1] << 8)
+                                  | (qhi[:, 3 * c + 2] << 16))
+        nodes[:, moff] = (left.astype(np.uint32)
+                          | (nchild << lb) | (kind << 29))
+        nodes[:, loff] = leaf.astype(np.uint32)
         if not flat:
             # instance leaves carry their inverse transform + BLAS root
             is_inst = kind == qbvh.KIND_INSTANCE
@@ -270,6 +304,7 @@ class WideArrays:
             max_leaf_tris=max_leaf,
             depth=depth,
             tri_bits=tri_bits,
+            width=width,
         )
 
 
@@ -363,9 +398,9 @@ def stack_pop(st, count, mask):
 
 
 def _at_pos(vals, pos):
-    """vals[pos] for four (R,) lanes without 2-D indexing."""
+    """vals[pos] for a small tuple of (R,) lanes without 2-D indexing."""
     r = vals[0]
-    for i in (1, 2, 3):
+    for i in range(1, len(vals)):
         r = jnp.where(pos == i, vals[i], r)
     return r
 
@@ -499,6 +534,9 @@ def trace_lanes(
     # shaders mid-walk — packed ids cannot survive that round trip
     assert not (wa.tri_bits and suspend), \
         "flattened WideArrays require the packet engine (no any-hit)"
+    # the per-ray engine stays 4-wide (its trail nibbles encode 0..4 and
+    # the restart machinery assumes it); 8-wide runs in the packet engine
+    assert wa.width == 4, "per-ray traversal requires width-4 WideArrays"
     r = ox.shape[0]
     if state is None:
         state = init_state_lanes(ox, oy, oz, dx, dy, dz, t_max)
