@@ -59,7 +59,36 @@ def bench_scene(flatten: bool = True, max_leaf_tris: int = 4):
     return sc.build(RTConfig(flatten=flatten, max_leaf_tris=max_leaf_tris))
 
 
+def _device_alive(timeout_s: int = 150) -> bool:
+    """Probe jax device init in a SUBPROCESS with a hard timeout.
+
+    When the axon TPU tunnel is dead, backend init blocks forever in a
+    dial-retry sleep (even cpu-only jax wedges — the sitecustomize
+    registration); probing in-process would hang this script.  A
+    subprocess can be killed."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); import jax.numpy as jnp; "
+             "x=jnp.ones((128,128)); (x@x).block_until_ready(); "
+             "print('ALIVE', d)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return "ALIVE" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _device_alive():
+        print('{"metric": "Mrays/s sustained", "value": 0, '
+              '"unit": "Mrays/s", "vs_baseline": 0, '
+              '"error": "device unreachable: axon TPU tunnel down '
+              '(backend init hung past 150s probe timeout)"}')
+        raise SystemExit(2)
+
     from vortex_rt_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
