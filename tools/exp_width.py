@@ -56,10 +56,8 @@ def main():
         ids = np.arange(rays) % (w * h)
         px = (ids % w + 0.5) / w
         py = (ids // w + 0.5) / h
-        import math
-        fwd, right, up = cam.basis()
-        vh = 2.0 * math.tan(math.radians(cam.vfov) * 0.5)
-        vw = vh * cam.aspect
+        fwd, right, up = cam.forward, cam.right, cam.up
+        vw, vh = float(cam.viewplane[0]), float(cam.viewplane[1])
         d = (fwd[None] + right[None] * ((px - 0.5) * vw)[:, None]
              + up[None] * ((0.5 - py) * vh)[:, None])
         d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
