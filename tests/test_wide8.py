@@ -131,3 +131,18 @@ def test_wide8_compaction_path(rng):
     h4, _ = trace_packets(wa4, o, d, packet=32)
     h8, _ = trace_packets(wa8, o, d, packet=32)
     _assert_exact(h4, h8)
+
+
+def test_lax_sort_parity(rng):
+    """lax.sort child ordering is hit-bit-identical to the sorting
+    network at both widths (traversal order among equal-tmin children
+    cannot change the closest hit — every unpruned child is visited)."""
+    sb = _flat_scene(rng, 800).build(RTConfig(flatten=True))
+    wa4, wa8 = _pair(sb)
+    o = rng.uniform(-6, 6, (512, 3)).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    for wa in (wa4, wa8):
+        hn, _ = trace_packets(wa, o, d, packet=32, lax_sort=False)
+        hl, _ = trace_packets(wa, o, d, packet=32, lax_sort=True)
+        _assert_exact(hn, hl)

@@ -64,6 +64,12 @@ from vortex_rt_tpu.ops.traverse_wide import (
     _MISS, _at_pos, _bitcast_f32, _bitcast_i32, _rcp_lane, _row_layout,
 )
 
+# lax.sort child ordering instead of the explicit network (sweepable:
+# the loop body is op-count-bound, so 19 comparators x ~6 small ops at
+# width 8 vs one fused variadic sort is a measurable trade either way)
+_LAX_SORT_DEFAULT = __import__("os").environ.get(
+    "VORTEX_RT_LAX_SORT", "0") == "1"
+
 # descending sorting networks (far -> near) over the child-slot lanes;
 # comparator counts are optimal (5 for 4 inputs, 19 for 8 — Knuth 5.3.4)
 _SORT_NET = {
@@ -126,6 +132,7 @@ def trace_packets(
     occlusion: bool = False,
     occl_split: int = 0,
     stats: bool = False,
+    lax_sort: Optional[bool] = None,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
 
@@ -165,6 +172,8 @@ def trace_packets(
     # state entirely (~40% of per-ray loop bytes) and the instance
     # branch; leaf tids arrive packed (inst << tri_bits) | tri, whose
     # i32 compare IS the (inst, tri) lexicographic tie-break
+    if lax_sort is None:
+        lax_sort = _LAX_SORT_DEFAULT
     flat = wa.num_tlas == 0 and wa.tri_bits > 0
     n_pool = int(wa.nodes.shape[0])
     w_ = int(wa.width)
@@ -324,19 +333,34 @@ def trace_packets(
                           < nch[None]))                     # (C, B)
             pd = jnp.min(jnp.where(hc, tmin, LARGE_FLOAT), axis=2)
             pdm = jnp.where(any_hit, pd, _MISS)
-            dists = [pdm[c] for c in range(w_)]
-            idxs = [jnp.full(b, c, jnp.int32) for c in range(w_)]
-            m = sum((dd > _MISS).astype(jnp.int32) for dd in dists)
-
-            # far -> near by packet-min entry distance (desc sorting network)
-            for a_i, b_i in _SORT_NET[w_]:
-                swap = dists[a_i] < dists[b_i]
-                da, db = dists[a_i], dists[b_i]
-                ia, ib = idxs[a_i], idxs[b_i]
-                dists[a_i] = jnp.where(swap, db, da)
-                dists[b_i] = jnp.where(swap, da, db)
-                idxs[a_i] = jnp.where(swap, ib, ia)
-                idxs[b_i] = jnp.where(swap, ia, ib)
+            m = jnp.sum((pdm > _MISS).astype(jnp.int32), axis=0)
+            if lax_sort:
+                # far -> near as ONE fused variadic sort (key = -dist
+                # ascending); misses (_MISS = -LARGE) key to +LARGE and
+                # land past position m-1, same layout as the network.
+                # Stable ties = child-slot order; traversal order among
+                # equal-tmin children never changes final hits (every
+                # unpruned child is still visited), so hits stay
+                # bit-identical — only step counts may shift.
+                _, sidx = jax.lax.sort(
+                    (-pdm, jnp.broadcast_to(
+                        jnp.arange(w_, dtype=jnp.int32)[:, None],
+                        (w_, b))),
+                    dimension=0, is_stable=True, num_keys=1)
+                idxs = [sidx[c] for c in range(w_)]
+            else:
+                dists = [pdm[c] for c in range(w_)]
+                idxs = [jnp.full(b, c, jnp.int32) for c in range(w_)]
+                # far -> near by packet-min entry distance (desc sorting
+                # network)
+                for a_i, b_i in _SORT_NET[w_]:
+                    swap = dists[a_i] < dists[b_i]
+                    da, db = dists[a_i], dists[b_i]
+                    ia, ib = idxs[a_i], idxs[b_i]
+                    dists[a_i] = jnp.where(swap, db, da)
+                    dists[b_i] = jnp.where(swap, da, db)
+                    idxs[a_i] = jnp.where(swap, ib, ia)
+                    idxs[b_i] = jnp.where(swap, ia, ib)
 
             pos_closest = m - 1
             descend = is_int & (m >= 1)
