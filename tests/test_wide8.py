@@ -146,3 +146,25 @@ def test_lax_sort_parity(rng):
         hn, _ = trace_packets(wa, o, d, packet=32, lax_sort=False)
         hl, _ = trace_packets(wa, o, d, packet=32, lax_sort=True)
         _assert_exact(hn, hl)
+
+
+def test_array_stack_parity(rng):
+    """(B, S) array stack is bit-identical to the per-level tuple stack
+    in closest-hit, occlusion, and mixed waves, through compaction."""
+    sb = _flat_scene(rng, 800).build(RTConfig(flatten=True))
+    wa4, wa8 = _pair(sb)
+    o = rng.uniform(-6, 6, (2048, 3)).astype(np.float32)
+    d = rng.normal(size=(2048, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = np.full(2048, 8.0, np.float32)
+    for wa in (wa4, wa8):
+        hn, sn = trace_packets(wa, o, d, packet=32, array_stack=False)
+        ha, sa = trace_packets(wa, o, d, packet=32, array_stack=True)
+        _assert_exact(hn, ha)
+        assert int(sn) == int(sa)
+        hn2, _ = trace_packets(wa, o, d, packet=32, t_max=tmax,
+                               occl_split=1024, array_stack=False)
+        ha2, _ = trace_packets(wa, o, d, packet=32, t_max=tmax,
+                               occl_split=1024, array_stack=True)
+        np.testing.assert_array_equal(np.asarray(hn2.dist),
+                                      np.asarray(ha2.dist))

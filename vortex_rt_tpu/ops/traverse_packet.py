@@ -95,6 +95,29 @@ def _stack_pop_n(st, count, mask):
         ns.append(jnp.where(mask, st[i + 1], st[i]))
     ns.append(jnp.where(mask, jnp.zeros_like(st[-1]), st[-1]))
     return entry, tuple(ns), jnp.where(mask, count - 1, count)
+
+
+# (B, S) array-stack variants (VORTEX_RT_ARRAY_STACK): the whole shift
+# register moves in ONE concat + ONE where instead of S per-level ops —
+# an op-count play for the op-count-bound loop body.  Packet-major
+# layout keeps compaction's generic row gather (state[k][keep]) correct.
+def _stack_push_a(st, count, entry, mask):
+    ns = jnp.where(mask[:, None],
+                   jnp.concatenate([entry[:, None], st[:, :-1]], axis=1),
+                   st)
+    return ns, jnp.where(mask, count + 1, count)
+
+
+def _stack_pop_a(st, count, mask):
+    entry = st[:, 0]
+    shifted = jnp.concatenate([st[:, 1:], jnp.zeros_like(st[:, :1])],
+                              axis=1)
+    ns = jnp.where(mask[:, None], shifted, st)
+    return entry, ns, jnp.where(mask, count - 1, count)
+
+
+_ARRAY_STACK_DEFAULT = __import__("os").environ.get(
+    "VORTEX_RT_ARRAY_STACK", "0") == "1"
 from vortex_rt_tpu.utils.config import LARGE_FLOAT, MT_EPSILON
 
 
@@ -133,6 +156,7 @@ def trace_packets(
     occl_split: int = 0,
     stats: bool = False,
     lax_sort: Optional[bool] = None,
+    array_stack: Optional[bool] = None,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
 
@@ -174,6 +198,8 @@ def trace_packets(
     # i32 compare IS the (inst, tri) lexicographic tie-break
     if lax_sort is None:
         lax_sort = _LAX_SORT_DEFAULT
+    if array_stack is None:
+        array_stack = _ARRAY_STACK_DEFAULT
     flat = wa.num_tlas == 0 and wa.tri_bits > 0
     n_pool = int(wa.nodes.shape[0])
     w_ = int(wa.width)
@@ -205,12 +231,32 @@ def trace_packets(
              else l2(t_max.astype(jnp.float32)))
 
     zi = jnp.zeros(b, jnp.int32)
+    if array_stack:
+        st_push, st_pop = _stack_push_a, _stack_pop_a
+
+        def st_top(st):
+            return st[:, 0]
+
+        def st_set_top(st, v):
+            return st.at[:, 0].set(v)
+
+        st0_ = jnp.zeros((b, stack_n), jnp.int32)
+    else:
+        st_push, st_pop = _stack_push_n, _stack_pop_n
+
+        def st_top(st):
+            return st[0]
+
+        def st_set_top(st, v):
+            return (v,) + tuple(st[1:])
+
+        st0_ = (zi,) * stack_n
     state = dict(
         node=zi,
-        stack=(zi,) * stack_n, scount=zi,
+        stack=st0_, scount=zi,
     )
     if w_ == 8:
-        state.update(stack2=(zi,) * stack_n)
+        state.update(stack2=st0_)
     if not flat:
         state.update(
             inst=zi,
@@ -376,8 +422,8 @@ def trace_packets(
                 word = ((left << 8) | (cnt_def << 6)
                         | (idxs[0] & 3) | ((idxs[1] & 3) << 2)
                         | ((idxs[2] & 3) << 4))
-                stack, scount = _stack_push_n(stack, scount, word,
-                                              descend & (cnt_def >= 1))
+                stack, scount = st_push(stack, scount, word,
+                                        descend & (cnt_def >= 1))
             else:
                 cnt_def = jnp.clip(m - 1, 0, 7)
                 word0 = (left << 4) | cnt_def
@@ -386,9 +432,8 @@ def trace_packets(
                     word1 = word1 | ((idxs[j] & 7) << (3 * j))
                 push_mask = descend & (cnt_def >= 1)
                 stack2 = s["stack2"]
-                stack2, _ = _stack_push_n(stack2, scount, word1, push_mask)
-                stack, scount = _stack_push_n(stack, scount, word0,
-                                              push_mask)
+                stack2, _ = st_push(stack2, scount, word1, push_mask)
+                stack, scount = st_push(stack, scount, word0, push_mask)
 
             if flat:
                 lox, loy, loz = ox, oy, oz
@@ -517,7 +562,7 @@ def trace_packets(
             empty = scount == 0
             dead = want_pop & empty        # stack drained => walk complete
             do_pop = want_pop & ~empty
-            top = stack[0]
+            top = st_top(stack)
             if w_ == 4:
                 c_top = (top >> 6) & 3
                 slot = (top >> (2 * jnp.maximum(c_top - 1, 0))) & 3
@@ -526,19 +571,20 @@ def trace_packets(
                 # place; the last child pops the word off the register
                 partial = do_pop & (c_top > 1)
                 s0 = jnp.where(partial, top - 64, top)
-                stack = (s0,) + tuple(stack[1:])
-                _, stack, scount = _stack_pop_n(stack, scount,
-                                                do_pop & (c_top <= 1))
+                stack = st_set_top(stack, s0)
+                _, stack, scount = st_pop(stack, scount,
+                                          do_pop & (c_top <= 1))
             else:
                 c_top = top & 15
-                slot = (stack2[0] >> (3 * jnp.maximum(c_top - 1, 0))) & 7
+                slot = (st_top(stack2)
+                        >> (3 * jnp.maximum(c_top - 1, 0))) & 7
                 node_pop = (top >> 4) + slot
                 partial = do_pop & (c_top > 1)
                 s0 = jnp.where(partial, top - 1, top)
-                stack = (s0,) + tuple(stack[1:])
+                stack = st_set_top(stack, s0)
                 full_pop = do_pop & (c_top <= 1)
-                _, stack2, _ = _stack_pop_n(stack2, scount, full_pop)
-                _, stack, scount = _stack_pop_n(stack, scount, full_pop)
+                _, stack2, _ = st_pop(stack2, scount, full_pop)
+                _, stack, scount = st_pop(stack, scount, full_pop)
             nxt = jnp.where(do_pop, node_pop, nxt)
 
             done = s["done"] | dead
