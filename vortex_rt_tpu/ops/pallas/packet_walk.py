@@ -287,6 +287,7 @@ def trace_packets_pallas(wa: WideArrays, o: jnp.ndarray, d: jnp.ndarray,
     assert HAVE_PALLAS, "Pallas TPU backend unavailable"
     r = o.shape[0]
     assert r % P == 0, f"ray count must be a multiple of {P}"
+    assert wa.width == 4, "pallas packet walk reads the 4-wide row layout"
     b = r // P
     n_nodes = int(wa.nodes.shape[0])
     n_rows = int(wa.tri_rows.shape[0])
