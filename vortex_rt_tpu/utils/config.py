@@ -43,6 +43,7 @@ class RTConfig:
 
     # ---- acceleration structure (reference hw/VX_config.toml:244-247) ----
     bvh_width: int = 4          # RT_BVH_WIDTH: children per wide-BVH node
+                                # (4 or 8; 8 requires flatten=True)
     stack_size: int = 5         # RT_STACK_SIZE: short-stack entries per ray
     max_trail: int = 32         # MAX_TRAIL_LEVEL (sim/simx/rt_traversal.h:9)
     sah_bins: int = 8           # BINS in binned SAH build (bvh.cpp:135-191)
@@ -114,6 +115,13 @@ class RTConfig:
 
     # ---- multi-chip ----
     mesh_axes: Tuple[str, ...] = ("tiles",)
+
+    def __post_init__(self):
+        assert self.bvh_width in (4, 8), \
+            f"bvh_width must be 4 or 8, got {self.bvh_width}"
+        assert self.bvh_width == 4 or self.flatten, \
+            "bvh_width=8 requires flatten=True (no instance-node rows)"
+        assert self.max_leaf_tris >= 1
 
     def replace(self, **kw: Any) -> "RTConfig":
         return dataclasses.replace(self, **kw)
