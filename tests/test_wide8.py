@@ -168,3 +168,29 @@ def test_array_stack_parity(rng):
                                occl_split=1024, array_stack=True)
         np.testing.assert_array_equal(np.asarray(hn2.dist),
                                       np.asarray(ha2.dist))
+
+
+def test_knobs_end_to_end_frame(rng, monkeypatch):
+    """Full wavefront frame with lax_sort + array_stack defaults on is
+    bit-identical to the knobs-off frame (the env-knob path the
+    hardware sweep drives through bench.py/the ladder)."""
+    import vortex_rt_tpu.ops.traverse_packet as tp
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.models.procedural import cornell_box
+    from vortex_rt_tpu.models.scene import RenderParams
+
+    sc = Scene()
+    for mesh, refl in cornell_box():
+        sc.add_instance(sc.add_mesh(mesh), reflectivity=refl)
+    sb = sc.build(RTConfig(flatten=True))
+    cam = Scene.framing_camera(sb, 45.0, 1.0)
+    params = RenderParams(max_depth=2, shadow=True)
+    imgs = {}
+    for on in (False, True):
+        monkeypatch.setattr(tp, "_LAX_SORT_DEFAULT", on)
+        monkeypatch.setattr(tp, "_ARRAY_STACK_DEFAULT", on)
+        r = WavefrontRenderer.from_buffers(
+            sb, RTConfig(flatten=True, bvh_width=8 if on else 4))
+        img, _ = r.render(cam, params, 32, 32)
+        imgs[on] = np.asarray(img)
+    np.testing.assert_array_equal(imgs[False], imgs[True])
