@@ -194,3 +194,28 @@ def test_knobs_end_to_end_frame(rng, monkeypatch):
         img, _ = r.render(cam, params, 32, 32)
         imgs[on] = np.asarray(img)
     np.testing.assert_array_equal(imgs[False], imgs[True])
+
+
+def test_fused_rows_parity(rng):
+    """Single-gather fused node+leaf rows are bit-identical to the
+    two-gather layout at both widths, incl. the mixed wave."""
+    sb = _flat_scene(rng, 800).build(RTConfig(flatten=True))
+    wa4, wa8 = _pair(sb)
+    o = rng.uniform(-6, 6, (1024, 3)).astype(np.float32)
+    d = rng.normal(size=(1024, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = np.full(1024, 8.0, np.float32)
+    for wa in (wa4, wa8):
+        wf = wa.fuse()
+        assert wf.fused.shape == (wa.nodes.shape[0],
+                                  32 + 16 * wa.max_leaf_tris)
+        h0, s0 = trace_packets(wa, o, d, packet=32)
+        h1, s1 = trace_packets(wf, o, d, packet=32)
+        _assert_exact(h0, h1)
+        assert int(s0) == int(s1)
+        h2, _ = trace_packets(wa, o, d, packet=32, t_max=tmax,
+                              occl_split=512)
+        h3, _ = trace_packets(wf, o, d, packet=32, t_max=tmax,
+                              occl_split=512)
+        np.testing.assert_array_equal(np.asarray(h2.dist),
+                                      np.asarray(h3.dist))

@@ -10,6 +10,7 @@ separately from the step-cost change.
 Grid entries are ``WxL`` with optional knob suffixes:
   +lax     lax.sort child ordering (VORTEX_RT_LAX_SORT)
   +astack  (B,S) array stack (VORTEX_RT_ARRAY_STACK)
+  +fused   single-gather node+leaf rows (VORTEX_RT_FUSED_ROWS)
 e.g. ``--grid 4x4,8x8,8x8+lax+astack``.  Each entry runs in its OWN
 subprocess: the knobs are import-time defaults, and a fresh process
 also redraws the compile basin instead of silently reusing a cached
@@ -99,6 +100,7 @@ def main():
         env = dict(os.environ)
         env["VORTEX_RT_LAX_SORT"] = "1" if "lax" in knobs else "0"
         env["VORTEX_RT_ARRAY_STACK"] = "1" if "astack" in knobs else "0"
+        env["VORTEX_RT_FUSED_ROWS"] = "1" if "fused" in knobs else "0"
         rc = subprocess.call(
             [sys.executable, os.path.abspath(__file__), "--one", spec,
              "--burst", str(args.burst), "--reps", str(args.reps)],

@@ -1065,9 +1065,15 @@ class WavefrontRenderer:
                      table: Optional[ShaderTable] = None
                      ) -> "WavefrontRenderer":
         cfg = config or RTConfig()
+        wa = WideArrays.from_scene(sb_host, width=cfg.bvh_width)
+        import os
+
+        if os.environ.get("VORTEX_RT_FUSED_ROWS", "0") == "1":
+            # single-gather node+leaf rows (sweep knob, see WideArrays.fuse)
+            wa = wa.fuse()
         return WavefrontRenderer(
             sb=jax.tree.map(jnp.asarray, sb_host),
-            wa=WideArrays.from_scene(sb_host, width=cfg.bvh_width),
+            wa=wa,
             sa=ShadeArrays.from_scene(sb_host),
             config=cfg,
             table=table or ShaderTable(),

@@ -317,7 +317,13 @@ def trace_packets(
             s = dict(zip(keys, sl))
             act = ~s["done"]
             node = jnp.clip(s["node"], 0, n_pool - 1)
-            rowt = wa.nodes[node].T                 # (32, B): tiny gather
+            if wa.fused is not None:
+                # ONE gather serves both loop paths (node fields at the
+                # same offsets; this node's inline leaf slots after 32)
+                grow = wa.fused[node].T             # (32+16L, B)
+                rowt = grow[:32]
+            else:
+                rowt = wa.nodes[node].T             # (32, B): tiny gather
             meta = rowt[moff]
             kind = (meta >> 29).astype(jnp.int32)
             nch = ((meta >> lbits) & nmask).astype(jnp.int32)
@@ -463,7 +469,11 @@ def trace_packets(
             # ---- triangle leaf: batched Moller-Trumbore over leaf slots ----
             # all lmax triangles in one (L, B, P) op chain; the winner fold
             # below is lmax cheap (B, P) compare/select steps
-            lrowt = wa.tri_rows[jnp.clip(left, 0, n_leaf_rows - 1)].T  # (C, B)
+            if wa.fused is not None:
+                lrowt = _bitcast_f32(grow[32:])     # this node's own slots
+            else:
+                lrowt = wa.tri_rows[
+                    jnp.clip(left, 0, n_leaf_rows - 1)].T      # (C, B)
             cnt = leaf_data
 
             def lf(k):  # leaf field k across slots -> (L, B, 1)

@@ -112,9 +112,38 @@ class WideArrays:
     # children per node (4 or 8); 8-wide requires the flattened build
     # (instance rows don't fit next to 8 child boxes in a 128-byte row)
     width: int = dataclasses.field(default=4, metadata=dict(static=True))
+    # optional fused node+leaf table (N, 32 + 16*max_leaf_tris) u32:
+    # row i = node record ++ (its inline tri-leaf slots if KIND_TRIS).
+    # One gather serves BOTH loop paths per step — same bytes as the two
+    # dependent gathers (node row + leaf row), half the gather ops and
+    # no serial dependency.  Built by .fuse(); used when present.
+    fused: Optional[jnp.ndarray] = dataclasses.field(default=None)
 
     def _meta_bits(self):
         return (_LEFT_BITS, 7) if self.width == 4 else (_LEFT_BITS8, 15)
+
+    def fuse(self) -> "WideArrays":
+        """Return a copy with the fused node+leaf table built (flat
+        builds only).  jnp ops throughout, so it works on device and
+        under jit (the LBVH refit path)."""
+        assert self.num_tlas == 0 and self.tri_bits > 0, \
+            "fused rows require the flattened build"
+        moff = _row_layout(self.width)[2]
+        lmax = max(int(self.max_leaf_tris), 1)
+        nodes = jnp.asarray(self.nodes)
+        meta = nodes[:, moff]
+        kind = (meta >> 29).astype(jnp.int32)
+        lb, _ = self._meta_bits()
+        left = (meta & ((1 << lb) - 1)).astype(jnp.int32)
+        rows = jax.lax.bitcast_convert_type(
+            jnp.asarray(self.tri_rows), jnp.uint32)
+        n = nodes.shape[0]
+        is_tris = kind == qbvh.KIND_TRIS
+        safe = jnp.clip(left, 0, rows.shape[0] - 1)
+        leaf_part = jnp.where(is_tris[:, None], rows[safe],
+                              jnp.zeros((n, 16 * lmax), jnp.uint32))
+        return dataclasses.replace(
+            self, fused=jnp.concatenate([nodes, leaf_part], axis=1))
 
     # ---- host-side unpacked views (tests / debugging) ----
     @property
