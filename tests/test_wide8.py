@@ -196,6 +196,33 @@ def test_knobs_end_to_end_frame(rng, monkeypatch):
     np.testing.assert_array_equal(imgs[False], imgs[True])
 
 
+def test_unroll_parity(rng):
+    """k-fold while-body unrolling is bit-identical at both widths and
+    in every mode: a sub-step on a done packet is the identity on all
+    state but the step counter, so grouping k sub-steps per iteration
+    replays the exact same node sequence."""
+    sb = _flat_scene(rng, 800).build(RTConfig(flatten=True))
+    wa4, wa8 = _pair(sb)
+    o = rng.uniform(-6, 6, (2048, 3)).astype(np.float32)
+    d = rng.normal(size=(2048, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = np.full(2048, 8.0, np.float32)
+    for wa in (wa4, wa8):
+        h1, s1 = trace_packets(wa, o, d, packet=32, unroll=1)
+        for k in (2, 4):
+            hk, sk = trace_packets(wa, o, d, packet=32, unroll=k)
+            _assert_exact(h1, hk)
+            # the counter tallies SUB-steps, so it stays ~equal; each
+            # compaction round may overshoot its exit by < k sub-steps
+            assert int(sk) <= int(s1) + 4 * k
+        hm1, _ = trace_packets(wa, o, d, packet=32, t_max=tmax,
+                               occl_split=1024, unroll=1)
+        hm4, _ = trace_packets(wa, o, d, packet=32, t_max=tmax,
+                               occl_split=1024, unroll=4)
+        np.testing.assert_array_equal(np.asarray(hm1.dist),
+                                      np.asarray(hm4.dist))
+
+
 def test_fused_rows_parity(rng):
     """Single-gather fused node+leaf rows are bit-identical to the
     two-gather layout at both widths, incl. the mixed wave."""

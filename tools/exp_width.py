@@ -11,7 +11,8 @@ Grid entries are ``WxL`` with optional knob suffixes:
   +lax     lax.sort child ordering (VORTEX_RT_LAX_SORT)
   +astack  (B,S) array stack (VORTEX_RT_ARRAY_STACK)
   +fused   single-gather node+leaf rows (VORTEX_RT_FUSED_ROWS)
-e.g. ``--grid 4x4,8x8,8x8+lax+astack``.  Each entry runs in its OWN
+  +uK      unroll the while body K times (VORTEX_RT_UNROLL=K)
+e.g. ``--grid 4x4,8x8,8x8+lax+astack,4x4+u4``.  Each entry runs in its OWN
 subprocess: the knobs are import-time defaults, and a fresh process
 also redraws the compile basin instead of silently reusing a cached
 executable whose jit key does not include the knobs.
@@ -101,6 +102,9 @@ def main():
         env["VORTEX_RT_LAX_SORT"] = "1" if "lax" in knobs else "0"
         env["VORTEX_RT_ARRAY_STACK"] = "1" if "astack" in knobs else "0"
         env["VORTEX_RT_FUSED_ROWS"] = "1" if "fused" in knobs else "0"
+        env["VORTEX_RT_UNROLL"] = next(
+            (k[1:] for k in knobs if k.startswith("u") and k[1:].isdigit()),
+            "1")
         rc = subprocess.call(
             [sys.executable, os.path.abspath(__file__), "--one", spec,
              "--burst", str(args.burst), "--reps", str(args.reps)],

@@ -118,6 +118,15 @@ def _stack_pop_a(st, count, mask):
 
 _ARRAY_STACK_DEFAULT = __import__("os").environ.get(
     "VORTEX_RT_ARRAY_STACK", "0") == "1"
+
+# while-body unroll factor (sweepable): rule 21 measured the loop body
+# launch/gather-bound (~29 us/step at 32k lanes, ~16x the VPU roofline),
+# so k sub-steps per while iteration trade k-fold fewer fixed
+# per-iteration overheads against a k-fold larger body (compile-basin
+# risk, rule 13).  Bit-identical: a sub-step on a done packet is the
+# identity on every field but the step counter
+_UNROLL_DEFAULT = int(__import__("os").environ.get(
+    "VORTEX_RT_UNROLL", "1"))
 from vortex_rt_tpu.utils.config import LARGE_FLOAT, MT_EPSILON
 
 
@@ -157,6 +166,7 @@ def trace_packets(
     stats: bool = False,
     lax_sort: Optional[bool] = None,
     array_stack: Optional[bool] = None,
+    unroll: Optional[int] = None,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
 
@@ -200,6 +210,9 @@ def trace_packets(
         lax_sort = _LAX_SORT_DEFAULT
     if array_stack is None:
         array_stack = _ARRAY_STACK_DEFAULT
+    if unroll is None:
+        unroll = _UNROLL_DEFAULT
+    unroll = max(int(unroll), 1)
     flat = wa.num_tlas == 0 and wa.tri_bits > 0
     n_pool = int(wa.nodes.shape[0])
     w_ = int(wa.width)
@@ -313,7 +326,7 @@ def trace_packets(
                     go, jnp.sum(~s["done"], dtype=jnp.int32) > target)
             return go
 
-        def body(sl):
+        def sub_step(sl):
             s = dict(zip(keys, sl))
             act = ~s["done"]
             node = jnp.clip(s["node"], 0, n_pool - 1)
@@ -622,6 +635,11 @@ def trace_packets(
                          ldx=ldx_, ldy=ldy_, ldz=ldz_,
                          lix=lix, liy=liy, liz=liz, best_inst=best_inst)
             return [s[k] for k in keys]
+
+        def body(sl):
+            for _ in range(unroll):
+                sl = sub_step(sl)
+            return sl
 
         return dict(zip(keys, jax.lax.while_loop(
             cond, body, [st0[k] for k in keys])))
