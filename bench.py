@@ -100,7 +100,7 @@ def main() -> None:
     from vortex_rt_tpu.utils.config import RTConfig
 
     # sweepable build knobs (tools/exp_width.py drives these)
-    bvh_width = int(os.environ.get("VORTEX_RT_BVH_WIDTH", "4"))
+    bvh_width = int(os.environ.get("VORTEX_RT_BVH_WIDTH", "0"))
     leaf = int(os.environ.get("VORTEX_RT_LEAF", "4"))
     sb = bench_scene(max_leaf_tris=leaf)
     width = height = 512

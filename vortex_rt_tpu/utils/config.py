@@ -42,13 +42,27 @@ class RTConfig:
     """All static knobs of the tracer.  Frozen so it can key jit caches."""
 
     # ---- acceleration structure (reference hw/VX_config.toml:244-247) ----
-    bvh_width: int = 4          # RT_BVH_WIDTH: children per wide-BVH node
-                                # (4 or 8; 8 requires flatten=True)
+    bvh_width: int = 0          # RT_BVH_WIDTH: children per wide-BVH node
+                                # (4 or 8; 8 requires flatten=True).
+                                # 0 = auto: 8 on flattened builds, else 4
+                                # — the round-4 hardware sweep measured
+                                # 8-wide 21% faster at the 1080p bunny
+                                # (2.72 vs 3.18 s/frame with fused rows;
+                                # ARCHITECTURE.md rule 29)
     stack_size: int = 5         # RT_STACK_SIZE: short-stack entries per ray
     max_trail: int = 32         # MAX_TRAIL_LEVEL (sim/simx/rt_traversal.h:9)
     sah_bins: int = 8           # BINS in binned SAH build (bvh.cpp:135-191)
     max_leaf_tris: int = 4      # leaf size target for the binary BVH
     use_native_build: bool = True  # csrc/ C++ builder when available
+    fused_rows: bool = True     # single-gather node+leaf rows on
+                                # flattened builds (WideArrays.fuse):
+                                # the round-4 hardware sweep's decisive
+                                # winner — 27.3 vs 33.7 ms/frame at the
+                                # bench config, 3.18 vs 8.74 s/frame at
+                                # the 1080p bunny (ARCHITECTURE.md rule
+                                # 29).  Ignored on TLAS builds; env
+                                # VORTEX_RT_FUSED_ROWS=0/1 overrides
+                                # (sweep harnesses)
     flatten: bool = False       # build ONE world-space BVH over all
                                 # instances (transforms baked at build,
                                 # leaf ids packed (inst<<bits)|tri): no
@@ -91,10 +105,19 @@ class RTConfig:
                                 # queues with lossless overflow spill
     pallas_waves: str = "off"   # which waves use the Mosaic scalar-node-
                                 # walk kernel (ops/pallas/packet_walk):
-                                # 'off' | 'coherent' (primary + shadow
-                                # occlusion waves) | 'all'.  Needs a real
-                                # TPU backend and the scene tables to fit
-                                # VMEM (~6 MB after the dual dtype views)
+                                # 'off' | 'coherent' (bounce-0 waves:
+                                # primary trace + shadow-0 occlusion) |
+                                # 'all'.  Routed by engine.wavefront
+                                # (_wave_pipeline); waves fall back to
+                                # the XLA packet engine unless the TPU
+                                # backend is live (or
+                                # VORTEX_RT_PALLAS_INTERPRET=1), scene
+                                # tables fit the ~12 MB VMEM budget,
+                                # lanes tile into 1024-ray packets,
+                                # bvh_width=4 (the kernel is width-4
+                                # only — pin it; auto resolves to 8 on
+                                # flattened builds), and the wave needs
+                                # no stats/alpha modes
 
     # ---- render parameters (kernel_arg_t analog, raytracing/common.h:164) ----
     width: int = 256
@@ -117,6 +140,10 @@ class RTConfig:
     mesh_axes: Tuple[str, ...] = ("tiles",)
 
     def __post_init__(self):
+        if self.bvh_width == 0:
+            # auto: 8-wide needs the flattened build's packed leaf ids;
+            # suspension/TLAS pipelines keep the 4-wide instance rows
+            object.__setattr__(self, "bvh_width", 8 if self.flatten else 4)
         assert self.bvh_width in (4, 8), \
             f"bvh_width must be 4 or 8, got {self.bvh_width}"
         assert self.bvh_width == 4 or self.flatten, \
