@@ -198,6 +198,11 @@ def alpha_test_anyhit(threshold: float = 0.5):
                          jnp.int32(0),   # COMMIT_CONT (reject)
                          jnp.int32(COMMIT_ACCEPT)).astype(jnp.int32)
 
+    # declarative marker: the packet engine evaluates this exact test
+    # IN-LOOP (trace_packets alpha_ref) instead of falling back to the
+    # ~25x slower per-ray suspension pool; the per-ray facade (rtu.py /
+    # packet=0) still runs the callable through the suspension protocol
+    shader.alpha_threshold = float(threshold)
     return shader
 
 

@@ -35,6 +35,7 @@ at the end, so no Python-level loop scales with sample count.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -191,6 +192,30 @@ def _resolve_tiled(lanes, width: int, rows: int, spp: int,
     return a.transpose(0, 2, 1, 3).reshape(rows, width)
 
 
+# Mosaic packet-walk routing limits (RTConfig.pallas_waves): the kernel
+# keeps every scene table VMEM-resident (ops/pallas/packet_walk module
+# docstring — ~12 MB practical budget on a v5e before the dual dtype
+# views stop fitting); VORTEX_RT_PALLAS_INTERPRET=1 lets CPU tests run
+# the routed kernel through the Pallas interpreter.
+_PALLAS_VMEM_BUDGET = 12 << 20
+_PALLAS_INTERPRET = os.environ.get("VORTEX_RT_PALLAS_INTERPRET", "0") == "1"
+
+
+def _inline_alpha(table: ShaderTable, wa: WideArrays) -> Optional[float]:
+    """Threshold of an in-loop-capable alpha-test any-hit, else None.
+
+    alpha_test_anyhit marks its shader with ``alpha_threshold``; when the
+    scene's WideArrays carry the with_alpha tables, the packet engine
+    evaluates the test inside the traversal loop (trace_packets
+    alpha_ref) — same accepted hits as the suspension protocol, none of
+    its ~25x per-ray-engine cost.  Custom any-hit callables (no marker)
+    return None and keep the suspension fallback."""
+    thr = getattr(table.anyhit, "alpha_threshold", None)
+    if thr is not None and wa.alpha_rows is not None:
+        return float(thr)
+    return None
+
+
 def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
                 table: ShaderTable, lanes, alive, payload, chunk: int,
                 t_clamp=None):
@@ -308,6 +333,25 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
     def _run(stage):
         return stage_limit is None or stage <= stage_limit
 
+    alpha_ref = _inline_alpha(table, wa)
+    # ---- pallas_waves routing (RTConfig.pallas_waves) ----
+    # 'coherent' sends bounce-0 waves (primary trace + shadow-0
+    # occlusion) through the Mosaic scalar-node-walk kernel
+    # (ops/pallas/packet_walk); 'all' sends every wave.  Static
+    # eligibility: scene tables must fit the kernel's VMEM budget, lane
+    # count must tile into P=1024-ray packets, and the kernel has no
+    # stats/alpha/occl_split modes (those waves fall back to XLA).
+    pallas_ok = False
+    if pallas_waves != "off":
+        from vortex_rt_tpu.ops.pallas import packet_walk as _pw
+
+        pallas_ok = (_pw.HAVE_PALLAS and trace_fn is None
+                     and alpha_ref is None and wa.width == 4
+                     and wa.num_tlas + 1 > 0  # (flat + TLAS both ok)
+                     and r % _pw.P == 0
+                     and _pw.vmem_bytes(wa) <= _PALLAS_VMEM_BUDGET
+                     and (jax.default_backend() == "tpu"
+                          or _PALLAS_INTERPRET))
     pending = None  # hits pre-traced by the previous merged wave
     for bounce in range(max_depth):
         if not _run(1 + bounce * 3):
@@ -338,7 +382,21 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                 return trace_fn(tox, toy, toz, tdx, tdy, tdz, act,
                                 t_clamp, occl) + (None,)
             pk = wave_packet if pk is None else pk
-            if pk > 0 and table.anyhit is None and r % pk == 0:
+            if (pallas_ok and not stats
+                    and (pallas_waves == "all" or bounce == 0)):
+                from vortex_rt_tpu.ops.pallas.packet_walk import (
+                    trace_packets_pallas,
+                )
+
+                o3 = jnp.stack([tox, toy, toz], axis=1)
+                d3 = jnp.stack([tdx, tdy, tdz], axis=1)
+                h, st = trace_packets_pallas(
+                    wa, o3, d3, active=act, t_max=t_clamp,
+                    occlusion=occl, max_steps=400_000 + tune_nonce,
+                    interpret=_PALLAS_INTERPRET)
+                return h.dist, h.bx, h.by, h.tri, h.inst, st, None
+            if (pk > 0 and r % pk == 0
+                    and (table.anyhit is None or alpha_ref is not None)):
                 o3 = jnp.stack([tox, toy, toz], axis=1)
                 d3 = jnp.stack([tdx, tdy, tdz], axis=1)
                 tc = (jnp.full(r, LARGE_FLOAT) if t_clamp is None
@@ -354,7 +412,8 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                         go, gd, ga, gt = args
                         h, st = trace_packets(
                             wa, go, gd, packet=pk, active=ga,
-                            t_max=gt, occlusion=occl, max_steps=ms)
+                            t_max=gt, occlusion=occl, max_steps=ms,
+                            alpha_ref=alpha_ref)
                         return (h.dist, h.bx, h.by, h.tri, h.inst, st)
 
                     outs = jax.lax.map(
@@ -367,7 +426,8 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                             outs[4].reshape(r), outs[5].sum(), None)
                 h, st = trace_packets(wa, o3, d3, packet=pk,
                                       active=act, t_max=tc, occlusion=occl,
-                                      max_steps=ms, stats=stats)
+                                      max_steps=ms, stats=stats,
+                                      alpha_ref=alpha_ref)
                 if stats:
                     return (h.dist, h.bx, h.by, h.tri, h.inst, st.steps,
                             st)
@@ -412,7 +472,8 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
             sh_pk = wave_packet
         merge = (shadow and bounce + 1 < max_depth
                  and stage_limit is None and not collect_stats
-                 and trace_fn is None and table.anyhit is None
+                 and trace_fn is None and not pallas_ok
+                 and (table.anyhit is None or alpha_ref is not None)
                  and getattr(table, "lit_independent_spawn", True)
                  and bounce_packet > 0 and sh_pk == bounce_packet
                  and r % bounce_packet == 0
@@ -480,7 +541,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
             hm, m_steps = trace_packets(
                 wa, m_o, m_d, packet=bounce_packet, active=m_act,
                 t_max=m_tc, occl_split=r,
-                max_steps=400_000 + tune_nonce)
+                max_steps=400_000 + tune_nonce, alpha_ref=alpha_ref)
             steps_total = steps_total + m_steps
             sh_dist = hm.dist[:r]
             occluded = sh_act & (sh_dist < dist_l * (1.0 - 1e-3))
@@ -541,7 +602,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                stage_limit: Optional[int] = None,
                collect_stats: bool = False, trace_fn=None,
                bounce_packet: Optional[int] = None,
-               shadow_packet: Optional[int] = None):
+               shadow_packet: Optional[int] = None,
+               pallas_waves: str = "off"):
     """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
     must be a whole number of rows for the tiled layout).  Returns
     ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
@@ -588,7 +650,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 break
     tiled = (width % tile_w == 0 and n_pix % width == 0
              and rows % tile_h == 0 and off_aligned)
-    slab_major = (packet > 0 and table.anyhit is None and pix_perm is None
+    inline_ah = table.anyhit is None or _inline_alpha(table, wa) is not None
+    slab_major = (packet > 0 and inline_ah and pix_perm is None
                   and 0 < slab < n_pix)
 
     if slab_major:
@@ -625,7 +688,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 max_depth, shadow, bilinear, packet, chunk, tune_nonce, 0,
                 stage_limit=stage_limit, collect_stats=collect_stats,
                 trace_fn=trace_fn, bounce_packet=bounce_packet,
-                shadow_packet=shadow_packet)
+                shadow_packet=shadow_packet, pallas_waves=pallas_waves)
             return rr, rg, rb, rays, steps, probe, wstats
 
         gis = jnp.arange(g, dtype=jnp.int32)
@@ -679,7 +742,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
     # ---- legacy monolithic pool (any-hit suspension / per-ray engine /
     # explicit pixel permutations): spp folded into the pool ----
     n_real = n_pix * spp
-    quantum = packet if (packet > 0 and table.anyhit is None) else chunk
+    quantum = packet if (packet > 0 and inline_ah) else chunk
     r = ((n_real + quantum - 1) // quantum) * quantum
     # global sample index per lane: pass `seed` contributes spp samples
     samp = (seed_u * jnp.uint32(spp)
@@ -709,7 +772,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         max_depth, shadow, bilinear, packet, chunk, tune_nonce, slab,
         stage_limit=stage_limit, collect_stats=collect_stats,
         trace_fn=trace_fn, bounce_packet=bounce_packet,
-        shadow_packet=shadow_packet)
+        shadow_packet=shadow_packet, pallas_waves=pallas_waves)
 
     # ---- resolve: rays never moved lanes, so pool order IS (pixel, spp)
     # order; tile-major lanes resolve with a reshape+transpose.  Channels
@@ -736,7 +799,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "bilinear", "bounce_packet", "shadow_packet"))
+                          "bilinear", "bounce_packet", "shadow_packet",
+                          "pallas_waves"))
 def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      light: LightArrays, width: int, height: int,
                      max_depth: int = 2, spp: int = 1, chunk: int = 4096,
@@ -744,14 +808,14 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      packet: int = 128, shadow: bool = False,
                      tile_w: int = 16, tile_h: int = 16,
                      bilinear: bool = False, bounce_packet=None,
-                     shadow_packet=None):
+                     shadow_packet=None, pallas_waves: str = "off"):
     """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
     img, rays, steps = frame_body(
         wa, sa, cam, light, width, height, width * height, 0,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
         packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
         bilinear=bilinear, bounce_packet=bounce_packet,
-        shadow_packet=shadow_packet)
+        shadow_packet=shadow_packet, pallas_waves=pallas_waves)
     return (img.reshape(3, height, width).transpose(1, 2, 0),
             rays, steps)
 
@@ -759,20 +823,22 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
                  chunk=4096, table=None, seed=0, packet=128,
                  tile_w=16, tile_h=16, shadow=False, bilinear=False,
-                 bounce_packet=None, shadow_packet=None):
+                 bounce_packet=None, shadow_packet=None,
+                 pallas_waves="off"):
     """Host wrapper around render_wavefront (kept as the stable API)."""
     return render_wavefront(
         wa, sa, cam, light, width, height, max_depth=max_depth, spp=spp,
         chunk=chunk, table=table, seed=seed, packet=packet,
         shadow=shadow, tile_w=tile_w, tile_h=tile_h, bilinear=bilinear,
-        bounce_packet=bounce_packet, shadow_packet=shadow_packet)
+        bounce_packet=bounce_packet, shadow_packet=shadow_packet,
+        pallas_waves=pallas_waves)
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
                           "n_frames", "tune_nonce", "bounce_packet",
-                          "shadow_packet"))
+                          "shadow_packet", "pallas_waves"))
 def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_frames: int = 16, seed0=0,
@@ -781,7 +847,7 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  packet: int = 128, shadow: bool = False,
                  tile_w: int = 16, tile_h: int = 16,
                  tune_nonce: int = 0, bounce_packet=None,
-                 shadow_packet=None):
+                 shadow_packet=None, pallas_waves: str = "off"):
     """Render ``n_frames`` frames (seeds seed0..seed0+n-1) inside ONE XLA
     program, reduced to ONE i32: the exact total ray count (plus an
     always-zero anti-DCE guard derived from the radiance checksum).  No
@@ -814,7 +880,8 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             max_depth=max_depth, spp=spp, chunk=chunk, table=table,
             seed=seed, packet=packet, shadow=shadow,
             tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce,
-            bounce_packet=bounce_packet, shadow_packet=shadow_packet)
+            bounce_packet=bounce_packet, shadow_packet=shadow_packet,
+            pallas_waves=pallas_waves)
         return img.sum(), rays, steps
 
     seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
@@ -1066,17 +1133,23 @@ class WavefrontRenderer:
                      ) -> "WavefrontRenderer":
         cfg = config or RTConfig()
         wa = WideArrays.from_scene(sb_host, width=cfg.bvh_width)
-        import os
-
-        if os.environ.get("VORTEX_RT_FUSED_ROWS", "0") == "1":
-            # single-gather node+leaf rows (sweep knob, see WideArrays.fuse)
+        env_fused = os.environ.get("VORTEX_RT_FUSED_ROWS")
+        fused = cfg.fused_rows if env_fused is None else env_fused == "1"
+        if fused and wa.num_tlas == 0 and wa.tri_bits > 0:
+            # single-gather node+leaf rows (flat builds; sweep winner,
+            # ARCHITECTURE.md rule 29; see WideArrays.fuse)
             wa = wa.fuse()
+        table = table or ShaderTable()
+        if getattr(table.anyhit, "alpha_threshold", None) is not None:
+            # declarative alpha-test any-hit: build the in-loop tables so
+            # the packet/slab frame path handles it (engine._inline_alpha)
+            wa = wa.with_alpha(sb_host)
         return WavefrontRenderer(
             sb=jax.tree.map(jnp.asarray, sb_host),
             wa=wa,
             sa=ShadeArrays.from_scene(sb_host),
             config=cfg,
-            table=table or ShaderTable(),
+            table=table,
         )
 
     def render(self, cam: Camera, params: RenderParams,
@@ -1115,7 +1188,8 @@ class WavefrontRenderer:
             shadow=params.shadow,
             bilinear=self.config.tex_filter == "bilinear",
             bounce_packet=self.config.bounce_packet,
-            shadow_packet=self.config.shadow_packet)
+            shadow_packet=self.config.shadow_packet,
+            pallas_waves=self.config.pallas_waves)
         return np.asarray(img), int(nrays)
 
     def _table_for(self, params: RenderParams) -> ShaderTable:
@@ -1150,7 +1224,8 @@ class WavefrontRenderer:
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             shadow=params.shadow, tune_nonce=self._dev_cache.get("nonce", 0),
             bounce_packet=self.config.bounce_packet,
-            shadow_packet=self.config.shadow_packet)
+            shadow_packet=self.config.shadow_packet,
+            pallas_waves=self.config.pallas_waves)
         if rays_only:
             return int(nrays)
         # the burst program is scalar-only (fast compile basin); the last

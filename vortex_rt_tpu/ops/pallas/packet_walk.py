@@ -68,7 +68,7 @@ def _walk_kernel(nodes_ref, nodes_f_ref, rows_ref, rows_i_ref,
                  dx_ref, dy_ref, dz_ref, tmax_ref,
                  dist_ref, bx_ref, by_ref, tri_ref, inst_ref, steps_ref,
                  stack_ref, num_tlas: int, n_nodes: int, n_rows: int,
-                 max_steps: int, occlusion: bool):
+                 max_steps: int, occlusion: bool, lmax: int = 4):
     eps = jnp.float32(MT_EPSILON)
 
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
@@ -170,7 +170,7 @@ def _walk_kernel(nodes_ref, nodes_f_ref, rows_ref, rows_i_ref,
         def tri_leaf(_):
             row_i = jnp.clip(left, 0, n_rows - 1)
             t_b, bx_b, by_b, tri_b, bi_b = best_t, bx, by, tri, binst
-            for c in range(4):
+            for c in range(lmax):
                 b0 = 16 * c
                 v0x = rows_ref[row_i, b0 + 0]
                 v0y = rows_ref[row_i, b0 + 1]
@@ -303,7 +303,8 @@ def trace_packets_pallas(wa: WideArrays, o: jnp.ndarray, d: jnp.ndarray,
 
     kern = partial(_walk_kernel, num_tlas=int(wa.num_tlas),
                    n_nodes=n_nodes, n_rows=n_rows, max_steps=max_steps,
-                   occlusion=occlusion)
+                   occlusion=occlusion,
+                   lmax=max(int(wa.max_leaf_tris), 1))
     outs = pl.pallas_call(
         kern,
         grid=(b,),
@@ -347,8 +348,14 @@ def trace_packets_pallas(wa: WideArrays, o: jnp.ndarray, d: jnp.ndarray,
     # a real hit is strictly inside the clamp; unhit rays still carry
     # their initial t_max and must report miss (traverse_packet.py)
     miss = (dist < 0.0) | (dist >= split(limit))
+    tri = jnp.where(miss, 0, tri)
+    if wa.num_tlas == 0 and wa.tri_bits > 0:
+        # flattened build: leaf tids arrive packed (inst << tri_bits) |
+        # tri — unpack exactly like trace_packets
+        inst = tri >> wa.tri_bits
+        tri = tri & ((1 << wa.tri_bits) - 1)
     return Hits(dist=flat(jnp.where(miss, LARGE_FLOAT, dist)),
                 bx=flat(bx), by=flat(by),
                 bz=flat(1.0 - bx - by),
-                tri=flat(jnp.where(miss, 0, tri)),
+                tri=flat(tri),
                 inst=flat(inst)), steps.sum()

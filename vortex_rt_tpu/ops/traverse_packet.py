@@ -44,9 +44,13 @@ packets more), but every step's memory traffic is divided by P.  Results
 are bit-compatible with the per-ray engine's auto-accept mode (same
 intersection math, same lexicographic (t, instance, tri) tie-break).
 
-Any-hit suspension is NOT supported here (packets cannot pause per-ray);
-the wavefront engine uses this path only when no any-hit shader is bound,
-which matches the reference's shipped pipeline (always-accept any-hit).
+Any-hit SUSPENSION is not supported here (packets cannot pause per-ray)
+— but the alpha-test any-hit doesn't need suspension: it is a pure
+per-candidate predicate, so ``alpha_ref`` evaluates it INSIDE the
+traversal loop (see trace_packets docstring).  The wavefront engine uses
+this path for no-any-hit pipelines (the reference's shipped always-accept
+shader) AND for alpha-test any-hit tables; only custom stateful any-hit
+shaders fall back to the per-ray suspension engine.
 """
 
 from __future__ import annotations
@@ -167,6 +171,7 @@ def trace_packets(
     lax_sort: Optional[bool] = None,
     array_stack: Optional[bool] = None,
     unroll: Optional[int] = None,
+    alpha_ref: Optional[float] = None,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
 
@@ -190,7 +195,18 @@ def trace_packets(
     per-packet flag that survives compaction.
 
     ``stats=True`` additionally carries PacketStats scalar aggregates in
-    the loop and returns (Hits, PacketStats) instead of (Hits, steps)."""
+    the loop and returns (Hits, PacketStats) instead of (Hits, steps).
+
+    ``alpha_ref`` enables the IN-LOOP alpha-test any-hit (requires
+    ``wa.with_alpha`` tables): every Moller-Trumbore candidate whose
+    surface alpha (luminance of the point-sampled texel, or of the
+    material diffuse when untextured — exactly what alpha_test_anyhit
+    computes through the suspension protocol) is below ``alpha_ref`` is
+    rejected before the closest-hit fold, i.e. COMMIT_CONT without
+    per-ray suspension (rt_unit.cpp:190-213; shaders/anyhit.cpp is the
+    stub this implements for real).  Alpha rejection is a pure
+    per-candidate predicate, so evaluating it inside the loop visits
+    the identical accepted-hit set as the per-ray suspension engine."""
     r = o.shape[0]
     p = int(packet)
     assert r % p == 0, "ray count must be a multiple of the packet size"
@@ -214,6 +230,8 @@ def trace_packets(
         unroll = _UNROLL_DEFAULT
     unroll = max(int(unroll), 1)
     flat = wa.num_tlas == 0 and wa.tri_bits > 0
+    assert alpha_ref is None or wa.alpha_rows is not None, \
+        "alpha_ref requires WideArrays.with_alpha tables"
     n_pool = int(wa.nodes.shape[0])
     w_ = int(wa.width)
     assert w_ == 4 or flat, "8-wide packets require the flattened build"
@@ -518,6 +536,39 @@ def trace_packets(
                   & (jnp.arange(lmax, dtype=jnp.int32)[:, None, None]
                      < cnt[None, :, None])
                   & is_tri[None, :, None])
+            if alpha_ref is not None:
+                # ---- in-loop alpha-test any-hit (COMMIT_CONT analog):
+                # reject candidates whose surface alpha < alpha_ref.
+                # One (8L, B) row gather (same index as the leaf row) +
+                # one alpha-pool gather; uv interpolation and the
+                # point-sample texel address reproduce shade_point's op
+                # order exactly, so acceptance decisions match the
+                # suspension engine bit-for-bit.
+                arow = wa.alpha_rows[
+                    jnp.clip(left, 0, n_leaf_rows - 1)].T       # (8L, B)
+
+                def af(k):  # alpha field k across slots -> (L, B, 1)
+                    return jnp.stack([arow[8 * c + k]
+                                      for c in range(lmax)])[:, :, None]
+
+                bz_c = 1.0 - w1 - w2
+                # uv = uv1*bx + uv2*by + uv0*bz (closest.cpp:77)
+                u_c = af(2) * w1 + af(4) * w2 + af(0) * bz_c
+                v_c = af(3) * w1 + af(5) * w2 + af(1) * bz_c
+                toff_a = jnp.stack(
+                    [_bitcast_i32(arow[8 * c + 6])
+                     for c in range(lmax)])[:, :, None]
+                twh_a = jnp.stack(
+                    [_bitcast_i32(arow[8 * c + 7])
+                     for c in range(lmax)])[:, :, None]
+                tw_a = twh_a >> 16
+                th_a = twh_a & 0xFFFF
+                iu = jnp.floor(u_c * tw_a).astype(jnp.int32) % tw_a
+                iv = jnp.floor(v_c * th_a).astype(jnp.int32) % th_a
+                idx = toff_a + iu + iv * tw_a
+                alpha = wa.alpha_pool[
+                    jnp.clip(idx, 0, wa.alpha_pool.shape[0] - 1)]
+                ok = ok & ~(alpha < jnp.float32(alpha_ref))
             t = jnp.where(ok, t, LARGE_FLOAT)                # (L, B, P)
             t_min = jnp.full((b, p), LARGE_FLOAT)
             tid_sel = jnp.full((b, p), _INT_MAX)

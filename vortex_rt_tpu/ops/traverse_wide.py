@@ -118,6 +118,64 @@ class WideArrays:
     # dependent gathers (node row + leaf row), half the gather ops and
     # no serial dependency.  Built by .fuse(); used when present.
     fused: Optional[jnp.ndarray] = dataclasses.field(default=None)
+    # optional alpha-cutout tables (built by .with_alpha): per leaf slot
+    # the uv triple + texture window, and a per-texel alpha (luminance)
+    # pool — lets trace_packets evaluate the alpha-test any-hit INSIDE
+    # the traversal loop (in-loop analog of shaders/anyhit.cpp +
+    # rt_unit.cpp:190-213 CONT/ACCEPT, without per-ray suspension)
+    alpha_rows: Optional[jnp.ndarray] = dataclasses.field(default=None)
+    # (L, 8*lmax) f32: u0,v0,u1,v1,u2,v2,toff(bits),(tw<<16|th)(bits)
+    alpha_pool: Optional[jnp.ndarray] = dataclasses.field(default=None)
+    # (X + M,) f32: luminance per texel, then per-material diffuse
+    # luminance (the untextured fallback, addressed as a 1x1 texture)
+
+    def with_alpha(self, sb: SceneBuffers) -> "WideArrays":
+        """Build the in-loop alpha-test tables (host-side, NumPy).
+
+        The alpha of a candidate hit is the luminance of the surface
+        color shade_point would compute there (point-sampled texel, or
+        the material diffuse when untextured) — numerically IDENTICAL
+        to what alpha_test_anyhit sees through the suspension protocol,
+        so the two any-hit paths accept/reject the same candidates."""
+        lum = (np.float32(0.2126), np.float32(0.7152), np.float32(0.0722))
+
+        texels = np.asarray(sb.texels).astype(np.uint32)
+        s = np.float32(1.0 / 256.0)
+        tr = ((texels >> 16) & 255).astype(np.float32) * s
+        tg = ((texels >> 8) & 255).astype(np.float32) * s
+        tb = (texels & 255).astype(np.float32) * s
+        a_tex = lum[0] * tr + lum[1] * tg + lum[2] * tb
+        md = np.asarray(sb.mat_diffuse, np.float32)
+        a_mat = lum[0] * md[:, 0] + lum[1] * md[:, 1] + lum[2] * md[:, 2]
+        pool = np.concatenate([a_tex, a_mat]).astype(np.float32)
+        n_tex = int(texels.shape[0])
+
+        tids = self.leaf_tids                        # (L, slots), -1 empty
+        lmax = tids.shape[1]
+        tri = tids & ((1 << self.tri_bits) - 1) if self.tri_bits else tids
+        tri = np.clip(tri, 0, sb.v0.shape[0] - 1)
+        mat = np.asarray(sb.mat_id)[tri]
+        toff = np.asarray(sb.mat_tex_offset)[mat].astype(np.int64)
+        has_tex = toff >= 0
+        tw = np.where(has_tex, np.asarray(sb.mat_tex_w)[mat], 1)
+        th = np.where(has_tex, np.asarray(sb.mat_tex_h)[mat], 1)
+        toff = np.where(has_tex, toff, n_tex + mat).astype(np.int32)
+        # empty slots: point at material 0's constant (never read: the
+        # MT candidate mask already excludes them)
+        rows = np.zeros((tids.shape[0], 8 * lmax), np.float32)
+        uv0 = np.asarray(sb.uv0, np.float32)
+        uv1 = np.asarray(sb.uv1, np.float32)
+        uv2 = np.asarray(sb.uv2, np.float32)
+        for c in range(lmax):
+            rows[:, 8 * c + 0: 8 * c + 2] = uv0[tri[:, c]]
+            rows[:, 8 * c + 2: 8 * c + 4] = uv1[tri[:, c]]
+            rows[:, 8 * c + 4: 8 * c + 6] = uv2[tri[:, c]]
+            rows[:, 8 * c + 6] = toff[:, c].view(np.float32)
+            rows[:, 8 * c + 7] = ((tw[:, c].astype(np.int32) << 16)
+                                  | th[:, c].astype(np.int32)).view(
+                                      np.float32)
+        return dataclasses.replace(
+            self, alpha_rows=jnp.asarray(rows), alpha_pool=jnp.asarray(pool))
 
     def _meta_bits(self):
         return (_LEFT_BITS, 7) if self.width == 4 else (_LEFT_BITS8, 15)
