@@ -75,3 +75,84 @@ def test_sharded_matches_single_chip(shadow):
     assert total >= w * h
     err = float(np.sqrt(((img - ref) ** 2).mean()))
     assert err < 1e-5, f"sharded vs single-chip rmse {err}"
+
+
+def test_sharded_pathtrace_matches_single_chip():
+    """Path-traced (stochastic bounce + RR + shadow) frames through the
+    sharded trace_fn: same counter-based sample streams, same
+    lexicographic cross-shard combine -> same image as one chip
+    (VERDICT r3 weak #8: the pathtrace table selection in
+    make_sharded_wavefront was untested)."""
+    from jax.sharding import Mesh
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.parallel.shards import render_sharded
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    sc = _scene()
+    sb = sc.build()
+    cam = Scene.framing_camera(sb, 45.0, 4 / 3)
+    params = RenderParams(max_depth=3, spp=2, shadow=True, pathtrace=True,
+                          light_pos=(0, 0.8, -0.5))
+    w, h = 64, 48
+
+    r = WavefrontRenderer.from_buffers(sb, RTConfig(lanes=1024))
+    ref, _ = r.render(cam, params, w, h)
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("dp", "sp"))
+    img, total = render_sharded(sc, cam, params, w, h, n_shards=2,
+                                mesh=mesh)
+    assert total > w * h * params.spp  # bounce + shadow rays traced
+    err = float(np.sqrt(((img - ref) ** 2).mean()))
+    assert err < 1e-5, f"sharded pathtrace vs single-chip rmse {err}"
+
+
+def test_sharded_sponza_class_scale_and_memory():
+    """Sponza-class triangle count (~100k tris over 8 instances) across
+    sp=4 shards: parity with the single chip AND the >HBM motivation —
+    per-chip scene bytes must genuinely shrink (docs/SCENE_SHARDING.md
+    memory table)."""
+    from jax.sharding import Mesh
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.models import bigscenes
+    from vortex_rt_tpu.parallel.shards import (
+        build_sharded, memory_table, render_sharded,
+    )
+    from vortex_rt_tpu.utils import vecmath as vm
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    sc = Scene()
+    for k in range(8):
+        # 8 UNIQUE meshes (distinct displacement seeds): instances are
+        # the sharding granule, and distinct BLAS pools are what make
+        # per-chip bytes actually shrink
+        mi = sc.add_mesh(bigscenes.blob(n=80, seed=k))
+        ang = 2 * np.pi * k / 8
+        tf = vm.mat4_translate([3.5 * np.cos(ang), 0, 3.5 * np.sin(ang)])
+        sc.add_instance(mi, tf)
+    sb = sc.build()
+    assert sb.num_tris > 90_000  # Sponza-class (reference Sponza ~110k)
+    cam = Scene.framing_camera(sb, 45.0, 4 / 3)
+    params = RenderParams(max_depth=2, spp=1, shadow=True,
+                          light_pos=(0, 6.0, 0))
+    w, h = 32, 24
+
+    r = WavefrontRenderer.from_buffers(sb, RTConfig(lanes=1024))
+    ref, _ = r.render(cam, params, w, h)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    img, _ = render_sharded(sc, cam, params, w, h, n_shards=4, mesh=mesh)
+    err = float(np.sqrt(((img - ref) ** 2).mean()))
+    assert err < 1e-5, f"sharded vs single-chip rmse {err}"
+
+    sharded, sb_full = build_sharded(sc, 4)
+    tbl = memory_table(sharded, sb_full)
+    # 4 shards: each chip holds well under half the replicated scene
+    # (padding + per-shard TLAS overhead keep it above the ideal 1/4)
+    assert tbl["ratio"] < 0.5, tbl
+    assert tbl["sharded_per_chip_bytes"] * 4 > tbl["replicated_bytes"] * 0.8

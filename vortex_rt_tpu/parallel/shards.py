@@ -117,6 +117,32 @@ class ShardedArrays:
             num_tlas=self.num_tlas, max_leaf_tris=self.max_leaf_tris,
             depth=self.depth), squeeze(self.inst_map)
 
+    def bytes_per_shard(self) -> int:
+        """Per-chip resident scene bytes under P(sp) sharding: each chip
+        holds ONE row of the stacked pools (the padded shard — padding
+        rows are the price of a static shape).  This is the number the
+        >HBM motivation needs to beat (docs/SCENE_SHARDING.md)."""
+        return int(self.nodes.shape[1] * self.nodes.shape[2] * 4
+                   + self.tri_rows.shape[1] * self.tri_rows.shape[2] * 4
+                   + self.inst_map.shape[1] * 4)
+
+
+def memory_table(sharded: ShardedArrays, sb_full: SceneBuffers) -> dict:
+    """Replicated-vs-sharded per-chip scene-memory accounting (the
+    design doc's >HBM demonstration, docs/SCENE_SHARDING.md).  Returns
+    bytes: 'replicated' (full WideArrays per chip), 'sharded_per_chip'
+    (one padded shard), and their ratio."""
+    wa_full = WideArrays.from_scene(sb_full)
+    replicated = int(np.asarray(wa_full.nodes).nbytes
+                     + np.asarray(wa_full.tri_rows).nbytes)
+    per_chip = sharded.bytes_per_shard()
+    return {
+        "replicated_bytes": replicated,
+        "sharded_per_chip_bytes": per_chip,
+        "n_shards": int(sharded.nodes.shape[0]),
+        "ratio": per_chip / max(replicated, 1),
+    }
+
 
 def build_sharded(scene: Scene, n_shards: int,
                   config=None) -> Tuple[ShardedArrays, SceneBuffers]:
