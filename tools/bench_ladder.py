@@ -50,9 +50,28 @@ def _ladder_cfg(**kw):
 
     kw.setdefault("flatten", True)
     kw.setdefault("bvh_width",
-                  int(os.environ.get("VORTEX_RT_BVH_WIDTH", "4")))
+                  int(os.environ.get("VORTEX_RT_BVH_WIDTH", "0")))
     kw.setdefault("max_leaf_tris", int(os.environ.get("VORTEX_RT_LEAF", "4")))
     return RTConfig(**kw)
+
+
+def _knobs(cfg=None):
+    """Record the build/env knobs a row ran with (VERDICT r3 hygiene:
+    numbers must be reproducible from the artifact alone)."""
+    import os
+
+    k = dict(
+        bvh_width=getattr(cfg, "bvh_width", None),
+        max_leaf_tris=getattr(cfg, "max_leaf_tris", None),
+        fused_rows=getattr(cfg, "fused_rows", None),
+        bounce_packet=getattr(cfg, "bounce_packet", None),
+        lbvh=os.environ.get("VORTEX_RT_LBVH", "ploc"),
+    )
+    for env in ("VORTEX_RT_FUSED_ROWS", "VORTEX_RT_LAX_SORT",
+                "VORTEX_RT_ARRAY_STACK", "VORTEX_RT_UNROLL"):
+        if env in os.environ:
+            k[env] = os.environ[env]
+    return k
 
 
 def _cornell(with_teapot):
@@ -79,9 +98,10 @@ def _bench_burst(r, cam, params, w, h, draws, reps=2, n_hi=16, n_lo=4):
     assert params.spp >= 2, "ladder configs must run spp>=2 (rule 14)"
     from vortex_rt_tpu.runtime.warmup import reroll
 
-    nonce, _ = reroll(r, cam, params, w, h, n_frames=n_hi, draws=draws,
-                      target_ms_per_frame=8.0 * max(w * h, 1) / (512 * 512),
-                      verbose=True)
+    nonce, _reroll_ms = reroll(
+        r, cam, params, w, h, n_frames=n_hi, draws=draws,
+        target_ms_per_frame=8.0 * max(w * h, 1) / (512 * 512),
+        verbose=True)
 
     def timed(n_frames, seed0):
         total = 0
@@ -101,6 +121,12 @@ def _bench_burst(r, cam, params, w, h, draws, reps=2, n_hi=16, n_lo=4):
     return dict(mrays=round(rays16 / dt16 / 1e6, 2),
                 ms_per_frame=round(ms16, 2),
                 tune_nonce=nonce,
+                # basin-noise context for small programs (r3 weak #4/#9):
+                # the reroll's best single-dispatch ms — a hoist_ratio
+                # far from 1 with ms4 ~= reroll_ms means the 4-frame
+                # program drew a different basin, not a hoisted frame
+                reroll_ms=round(_reroll_ms, 2),
+                ms4_per_frame=round(ms4, 2),
                 hoist_ratio=round(ratio, 2),
                 # >2 means the 4-frame program drew a slow basin (not
                 # hoisting); <0.6 is the hoisting signature
@@ -139,11 +165,12 @@ def config1(draws):
     from vortex_rt_tpu.models.scene import RenderParams, Scene
 
     sb = _cornell(False)
-    r = WavefrontRenderer.from_buffers(sb, config=_ladder_cfg())
+    cfg = _ladder_cfg()
+    r = WavefrontRenderer.from_buffers(sb, config=cfg)
     cam = Scene.framing_camera(sb, 45.0, 1.0)
     p = RenderParams(max_depth=1, spp=2)
     rec = dict(config=1, scene="cornell", tris=sb.num_tris, res="256x256",
-               spp=2, depth=1, shadow=False)
+               spp=2, depth=1, shadow=False, knobs=_knobs(cfg))
     rec.update(_bench_burst(r, cam, p, 256, 256, draws))
     return _parity(rec, r, sb, cam, p, 256, 256)
 
@@ -153,13 +180,15 @@ def config2(draws):
     from vortex_rt_tpu.models.scene import Camera, RenderParams
 
     sb = _cornell(True)
-    r = WavefrontRenderer.from_buffers(sb, config=_ladder_cfg())
+    cfg = _ladder_cfg()
+    r = WavefrontRenderer.from_buffers(sb, config=cfg)
     cam = Camera.look_at([0.05, 0.02, -3.2], [0.0, -0.05, 0.0], [0, 1, 0],
                          45.0, 1.0)
     p = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, spp=2,
                      shadow=True)
     rec = dict(config=2, scene="cornell+teapot", tris=sb.num_tris,
-               res="512x512", spp=2, depth=2, shadow=True)
+               res="512x512", spp=2, depth=2, shadow=True,
+               knobs=_knobs(cfg))
     rec.update(_bench_burst(r, cam, p, 512, 512, draws))
     return _parity(rec, r, sb, cam, p, 512, 512)
 
@@ -181,16 +210,27 @@ def _scale_cfg(num, scene, spp, depth, draws, lbvh=False):
     cfg = _ladder_cfg(bounce_packet=16)
     sb = sc.build(cfg)
     rec = dict(config=num, scene=scene, tris=sb.num_tris, res="1920x1080",
-               spp=spp, depth=depth, shadow=True, pathtrace=True)
+               spp=spp, depth=depth, shadow=True, pathtrace=True,
+               knobs=_knobs(cfg))
     if lbvh:
-        # BASELINE config 3 asks for the ON-DEVICE LBVH build
-        from vortex_rt_tpu.accel.lbvh import build_wide_from_tris
-        t0 = time.time()
+        # BASELINE config 3 asks for the ON-DEVICE LBVH build; compile
+        # and run are reported SEPARATELY (r3 weak #7: the 53 s figure
+        # was compile + axon dispatch, not the build) by building twice
+        # — the second call hits the jit cache and times the build alone
         r = WavefrontRenderer.from_buffers(sb, config=cfg)
-        r.wa = build_wide_from_tris(sb, leaf_size=cfg.max_leaf_tris,
-                                    width=cfg.bvh_width)
-        jax.block_until_ready(r.wa.nodes)
-        rec["lbvh_build_s"] = round(time.time() - t0, 2)
+
+        def dev_build():
+            t0 = time.perf_counter()
+            wa = _lbvh_build(sb, cfg)
+            jax.block_until_ready(wa.nodes)
+            return wa, time.perf_counter() - t0
+        wa, t_first = dev_build()
+        wa, t_run = dev_build()
+        rec["lbvh_build_compile_s"] = round(t_first - t_run, 2)
+        rec["lbvh_build_run_s"] = round(t_run, 3)
+        if cfg.fused_rows:
+            wa = wa.fuse()   # same default the host-built path gets
+        r.wa = wa
     else:
         r = WavefrontRenderer.from_buffers(sb, config=cfg)
     cam = Scene.framing_camera(sb, 45.0, 1920 / 1080)
@@ -205,6 +245,21 @@ def _scale_cfg(num, scene, spp, depth, draws, lbvh=False):
     # impossible, so these numbers are honest by construction.
     rec.update(_bench_frames(r, cam, p, 1920, 1080))
     return _parity(rec, r, sb, cam, p, 1920, 1080, n=8)
+
+
+def _lbvh_build(sb, cfg):
+    """On-device build dispatch: VORTEX_RT_LBVH selects the builder
+    (ploc = v3 default; karras/sah = the v2 tree variants)."""
+    import os
+
+    method = os.environ.get("VORTEX_RT_LBVH", "ploc")
+    if method == "ploc":
+        from vortex_rt_tpu.accel.ploc import build_wide_ploc
+        return build_wide_ploc(sb, leaf_size=cfg.max_leaf_tris,
+                               width=cfg.bvh_width)
+    from vortex_rt_tpu.accel.lbvh import build_wide_from_tris
+    return build_wide_from_tris(sb, leaf_size=cfg.max_leaf_tris,
+                                width=cfg.bvh_width)
 
 
 def _bench_frames(r, cam, params, w, h, n_timed=2):
@@ -227,21 +282,48 @@ def _bench_frames(r, cam, params, w, h, n_timed=2):
                 hoist_ok=True)
 
 
-def config5(draws):
-    """Animated 1M tris: per-frame LBVH refit + primary render."""
-    from vortex_rt_tpu.accel.lbvh import build_lbvh_topo, pad_tris, refit_lbvh
+def config5(draws, res=None):
+    """Animated 1M tris: per-frame LBVH refit + FLAGSHIP wavefront frame
+    (shadow + shading, per-dispatch timing, sampled-pixel golden parity
+    — structurally identical to rows 3-4, plus the refit split; VERDICT
+    r3 #4).  ``res`` drops to smaller frames if 1080p cannot complete
+    (the row records which resolution ran)."""
+    import dataclasses as dc
+
+    from vortex_rt_tpu.accel.lbvh import (
+        build_lbvh_topo, pad_tris, refit_lbvh, wide_arrays_from_lbvh,
+    )
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
     from vortex_rt_tpu.models import bigscenes
-    from vortex_rt_tpu.ops.traverse_packet import trace_packets
-    from vortex_rt_tpu.accel.lbvh import wide_arrays_from_lbvh
+    from vortex_rt_tpu.models.scene import RenderParams, Scene
 
+    w, h = res or (1920, 1080)
     m = bigscenes.wavy_grid(n=708)
-    v0, v1, v2 = pad_tris(m.v0, m.v1, m.v2, 4)
-    t0 = time.time()
-    dv = [jnp.asarray(v) for v in (v0, v1, v2)]
-    lb, topo = build_lbvh_topo(*dv, leaf_size=4)
-    jax.block_until_ready(lb.nodes)
-    t_build = time.time() - t0
+    sc = Scene()
+    sc.add_instance(sc.add_mesh(m))
+    cfg = _ladder_cfg(bounce_packet=16)
+    sb = sc.build(cfg)   # host buffers: shading tables + the parity oracle
+    rec = dict(config=5, scene="waves-1M", tris=sb.num_tris,
+               res=f"{w}x{h}", spp=2, depth=2, shadow=True,
+               pathtrace=False, knobs=_knobs(cfg))
 
+    # ---- on-device topology build (once per scene), compile/run split
+    v0, v1, v2 = pad_tris(sb.v0, sb.v1, sb.v2, cfg.max_leaf_tris)
+    dv = [jnp.asarray(v) for v in (v0, v1, v2)]
+
+    def build_once():
+        t0 = time.perf_counter()
+        lb, topo = build_lbvh_topo(*dv, leaf_size=cfg.max_leaf_tris,
+                                   width=cfg.bvh_width)
+        jax.block_until_ready(lb.nodes)
+        return topo, time.perf_counter() - t0
+    topo, t_first = build_once()
+    topo, t_run = build_once()
+    rec["lbvh_build_compile_s"] = round(t_first - t_run, 2)
+    rec["lbvh_build_run_s"] = round(t_run, 3)
+
+    # ---- per-frame refit: ripple the vertices, refit, repack (+fuse —
+    # it is per-frame work the renderer's default layout relies on)
     base_y = dv[0][:, 1], dv[1][:, 1], dv[2][:, 1]
 
     def move(v, y0, t):
@@ -249,57 +331,96 @@ def config5(draws):
             * jnp.cos(0.5 * v[:, 2] - 1.3 * t)
         return v.at[:, 1].set(y)
 
-    @jax.jit
-    def refit_only(topo, v0, v1, v2, t):
-        w0 = move(v0, base_y[0], t)
-        w1 = move(v1, base_y[1], t)
-        w2 = move(v2, base_y[2], t)
-        lb = refit_lbvh(topo, w0, w1, w2, leaf_size=4)
-        return lb.nodes.sum()
+    r = WavefrontRenderer.from_buffers(sb, config=cfg)
+    wa_tmpl = r.wa
 
     @jax.jit
-    def frame(topo, v0, v1, v2, t):
-        # animate: ripple in y (matches wavy_grid's vertex-y-only motion)
-        w0 = move(v0, base_y[0], t)
-        w1 = move(v1, base_y[1], t)
-        w2 = move(v2, base_y[2], t)
-        lb = refit_lbvh(topo, w0, w1, w2, leaf_size=4)
-        wa = wide_arrays_from_lbvh(lb)
-        # primary wave over a 512x512 ortho grid looking down; the jitter
-        # below makes frames seed-distinct (anti-hoist, rule 14)
-        n = 512 * 512
-        ii = jnp.arange(n, dtype=jnp.int32)
-        jx = jnp.sin(t * 917.0) * 0.5 + 0.5
-        x = ((ii % 512).astype(jnp.float32) + jx) / 512.0 * 18.0 - 9.0
-        z = ((ii // 512).astype(jnp.float32) + jx) / 512.0 * 18.0 - 9.0
-        o = jnp.stack([x, jnp.full(n, 10.0), z], axis=1)
-        d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (n, 1))
-        h, st = trace_packets(wa, o, d, packet=128)
-        return h.dist.sum(), st
+    def refit_frame(topo, v0, v1, v2, t):
+        lb = refit_lbvh(topo, move(v0, base_y[0], t),
+                        move(v1, base_y[1], t), move(v2, base_y[2], t),
+                        leaf_size=cfg.max_leaf_tris, width=cfg.bvh_width)
+        wa = wide_arrays_from_lbvh(lb, cfg.max_leaf_tris,
+                                   width=cfg.bvh_width)
+        if cfg.fused_rows:
+            wa = wa.fuse()
+        return wa.nodes, wa.tri_rows, wa.fused
 
-    def timeit(fn, reps=4):
-        jax.block_until_ready(fn(topo, *dv, jnp.float32(0.0))[0]
-                              if fn is frame else fn(topo, *dv,
-                                                     jnp.float32(0.0)))
-        t0 = time.perf_counter()
-        out = None
-        for i in range(reps):
-            out = fn(topo, *dv, jnp.float32(0.1 * (i + 1)))
-        np.asarray(out[0] if fn is frame else out)  # sync
-        return (time.perf_counter() - t0) / reps
+    def refit_into(t):
+        nodes, rows, fused = refit_frame(topo, *dv, jnp.float32(t))
+        jax.block_until_ready(nodes)
+        return dc.replace(wa_tmpl, nodes=nodes, tri_rows=rows,
+                          fused=fused)
+    t0 = time.perf_counter()
+    r.wa = refit_into(0.0)
+    refit_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    reps = 4
+    for i in range(reps):
+        r.wa = refit_into(0.1 * (i + 1))
+    refit_run = (time.perf_counter() - t0) / reps
+    rec["refit_compile_s"] = round(refit_first - refit_run, 2)
+    rec["refit_ms"] = round(refit_run * 1e3, 1)
 
-    dt_refit = timeit(refit_only)
-    dt = timeit(frame)
-    return dict(config=5, scene="waves-1M", tris=int(v0.shape[0]),
-                res="512x512", build_s=round(t_build, 2),
-                refit_ms=round(dt_refit * 1e3, 1),
-                refit_plus_render_ms=round(dt * 1e3, 1),
-                mrays=round(512 * 512 / dt / 1e6, 2))
+    # ---- flagship frame on the refit tree (per-dispatch, hoist-proof)
+    cam = Scene.framing_camera(sb, 45.0, w / h)
+    p = RenderParams(max_depth=2, spp=2, shadow=True,
+                     light_pos=(0.0, 14.0, 0.0))
+    rec.update(_bench_frames(r, cam, p, w, h))
+    rec["frame_plus_refit_ms"] = round(rec["ms_per_frame"]
+                                       + rec["refit_ms"], 1)
+    # parity: refit tree at t=0 bounds exactly the base geometry the
+    # golden oracle sees
+    r.wa = refit_into(0.0)
+    return _parity(rec, r, sb, cam, p, w, h, n=8)
+
+
+def config6(draws):
+    """Textured alpha-cutout ANY-HIT at scale through the packet in-loop
+    path (VERDICT r3 #5: the capability must exist at production speed,
+    not only behind the ~25x per-ray suspension fallback).  Parity gates
+    the packet in-loop alpha engine against the per-ray suspension
+    protocol frame (the two independent implementations of
+    rt_unit.cpp:190-213 CONT/ACCEPT + shaders/anyhit.cpp semantics)."""
+    from vortex_rt_tpu.engine.shaders import ShaderTable, alpha_test_anyhit
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.models import bigscenes
+    from vortex_rt_tpu.models.scene import RenderParams, Scene
+
+    sc = Scene()
+    for mesh, refl in bigscenes.textured_atrium():
+        sc.add_instance(sc.add_mesh(mesh), reflectivity=refl)
+    cfg = _ladder_cfg()
+    sb = sc.build(cfg)
+    table = ShaderTable(anyhit=alpha_test_anyhit(0.30))
+    r = WavefrontRenderer.from_buffers(sb, config=cfg, table=table)
+    cam = Scene.framing_camera(sb, 45.0, 1.0)
+    p = RenderParams(max_depth=2, spp=2, shadow=True,
+                     light_pos=(0.0, 8.0, 0.0))
+    rec = dict(config=6, scene="atrium_tex+alpha-anyhit", tris=sb.num_tris,
+               res="512x512", spp=2, depth=2, shadow=True, anyhit=True,
+               knobs=_knobs(cfg))
+    rec.update(_bench_burst(r, cam, p, 512, 512, draws))
+
+    # parity vs the per-ray suspension engine at a reduced size (the
+    # golden oracle has no any-hit protocol; the suspension engine is
+    # itself oracle-gated in tests/test_anyhit_inline.py)
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    img_fast, _ = r.render(cam, p, 192, 192)
+    slow_cfg = RTConfig(packet_size=0, bounce_packet=0, lanes=4096)
+    r_slow = WavefrontRenderer.from_buffers(sb, config=slow_cfg,
+                                            table=table)
+    img_slow, _ = r_slow.render(cam, p, 192, 192)
+    rmse = float(np.sqrt(((img_fast - img_slow) ** 2).mean()))
+    rec["parity_rmse"] = round(rmse, 6)
+    rec["parity_ok"] = bool(rmse < 1e-4)
+    rec["parity_vs"] = "per-ray suspension engine (192x192)"
+    return rec
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     ap.add_argument("--draws", type=int, default=2)
     ap.add_argument("--write", action="store_true",
                     help="write BENCH_LADDER.json at the repo root")
@@ -307,7 +428,7 @@ def main():
     fns = {1: config1, 2: config2,
            3: lambda d: _scale_cfg(3, "bunny", 4, 3, d, lbvh=True),
            4: lambda d: _scale_cfg(4, "atrium", 8, 3, d),
-           5: config5}
+           5: config5, 6: config6}
     out = []
     for c in [int(x) for x in a.configs.split(",")]:
         try:

@@ -42,11 +42,22 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--stats-only", action="store_true",
                     help="skip the (compile-heavy) staged ms profile")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the full profile as one JSON file")
     a = ap.parse_args()
+
+    import os
 
     from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
     from vortex_rt_tpu.models.scene import Camera, RenderParams, Scene
     from vortex_rt_tpu.utils.config import RTConfig
+
+    # the production layout (what bench.py / the ladder run): flattened
+    # single BVH, auto width, fused rows — env-sweepable like the ladder
+    cfg = RTConfig(
+        flatten=True,
+        bvh_width=int(os.environ.get("VORTEX_RT_BVH_WIDTH", "0")),
+        max_leaf_tris=int(os.environ.get("VORTEX_RT_LEAF", "4")))
 
     if a.scene in ("bench", "cornell"):
         from bench import bench_scene
@@ -60,7 +71,7 @@ def main():
             sc = Scene()
             for m, refl in cornell_box():
                 sc.add_instance(sc.add_mesh(m), reflectivity=refl)
-            sb = sc.build()
+            sb = sc.build(cfg)
             cam = Scene.framing_camera(sb, 45.0, a.width / a.height)
         params = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=a.depth,
                               spp=a.spp, shadow=a.shadow,
@@ -74,32 +85,38 @@ def main():
         else:
             for m, refl in bigscenes.atrium():
                 sc.add_instance(sc.add_mesh(m), reflectivity=refl)
-        sb = sc.build()
+        sb = sc.build(cfg)
         cam = Scene.framing_camera(sb, 45.0, a.width / a.height)
         params = RenderParams(max_depth=a.depth, spp=a.spp,
                               shadow=a.shadow, pathtrace=a.pathtrace)
 
-    cfg = RTConfig()
     if a.bounce_packet is not None:
         cfg = cfg.replace(bounce_packet=a.bounce_packet)
     r = WavefrontRenderer.from_buffers(sb, cfg)
 
-    print(json.dumps(dict(scene=a.scene, tris=sb.num_tris,
-                          res=f"{a.width}x{a.height}", spp=a.spp,
-                          depth=a.depth, shadow=a.shadow,
-                          pathtrace=a.pathtrace,
-                          bounce_packet=cfg.bounce_packet)), flush=True)
+    hdr = dict(scene=a.scene, tris=sb.num_tris,
+               res=f"{a.width}x{a.height}", spp=a.spp,
+               depth=a.depth, shadow=a.shadow,
+               pathtrace=a.pathtrace,
+               bvh_width=cfg.bvh_width, fused_rows=cfg.fused_rows,
+               bounce_packet=cfg.bounce_packet)
+    print(json.dumps(hdr), flush=True)
 
     pt = r.perf_trace(cam, params, a.width, a.height)
     for k, v in pt.items():
         print(f"stats {k}: {v}", flush=True)
 
+    prof = None
     if not a.stats_only:
         prof = r.frame_profile(cam, params, a.width, a.height,
                                n_frames=a.frames)
         for row in prof:
             print(f"ms {row['stage']:>9}: {row['ms']:8.2f}  "
                   f"(cum {row['cum_ms']:.2f})", flush=True)
+    if a.json_out:
+        with open(a.json_out, "w") as f:
+            json.dump(dict(header=hdr, perf_trace=pt, staged_ms=prof),
+                      f, indent=1)
 
 
 if __name__ == "__main__":
