@@ -35,6 +35,14 @@ except Exception:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# persistent compile cache: the suite compiles dozens of big traversal
+# programs (minutes each cold on this 1-CPU box); identical HLO on later
+# runs loads from disk instead (utils/cache.py — same mechanism the TPU
+# bench uses)
+from vortex_rt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 @pytest.fixture(scope="session")
 def rng():
