@@ -200,6 +200,10 @@ def _resolve_tiled(lanes, width: int, rows: int, spp: int,
 _PALLAS_VMEM_BUDGET = 12 << 20
 _PALLAS_INTERPRET = os.environ.get("VORTEX_RT_PALLAS_INTERPRET", "0") == "1"
 
+# live-first bounce-wave packetization (see _wave_pipeline): default-off
+# staged knob pending hardware timing, like the rule-27 set
+_LIVE_SORT_DEFAULT = os.environ.get("VORTEX_RT_LIVE_SORT", "0") == "1"
+
 
 def _inline_alpha(table: ShaderTable, wa: WideArrays) -> Optional[float]:
     """Threshold of an in-loop-capable alpha-test any-hit, else None.
@@ -352,6 +356,33 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                      and _pw.vmem_bytes(wa) <= _PALLAS_VMEM_BUDGET
                      and (jax.default_backend() == "tpu"
                           or _PALLAS_INTERPRET))
+    # VORTEX_RT_LIVE_SORT: permute bounce-wave lanes live-first (stable
+    # argsort on the activity mask) before packetization, and scatter
+    # the hit fields back after.  Bounce waves are sparse (only spawned
+    # lanes live) — live-first packing turns diluted packets into a
+    # dense live prefix plus all-dead packets that exit at entry, so
+    # straggler compaction's first rounds shed the dead width instantly.
+    # Stable sort preserves tile-major order among live lanes (rule 23:
+    # octant re-sorting destroys origin locality; this does not).
+    # Bit-identical: packet composition changes which UNION nodes a
+    # packet walks, but each ray's closest hit is a min-fold over its
+    # own intersecting candidates with a lexicographic (inst,tri)
+    # tie-break, and best_t pruning always still visits the leaf of the
+    # true closest hit — composition-independent results (same argument
+    # as rule 25's whole-packet moves; verified by tests/test_livesort).
+    live_sort = _LIVE_SORT_DEFAULT and trace_fn is None
+
+    def _perm_trace(fn, act, args6, t_clamp, **kw):
+        perm = jnp.argsort(~act)
+        res = fn(*[a[perm] for a in args6], act[perm],
+                 None if t_clamp is None else t_clamp[perm], **kw)
+        d_, bx_, by_, tr_, in_, st_, ts_ = res
+
+        def inv(a):
+            return jnp.zeros_like(a).at[perm].set(a)
+
+        return inv(d_), inv(bx_), inv(by_), inv(tr_), inv(in_), st_, ts_
+
     pending = None  # hits pre-traced by the previous merged wave
     for bounce in range(max_depth):
         if not _run(1 + bounce * 3):
@@ -360,6 +391,15 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
 
         def _trace(tox, toy, toz, tdx, tdy, tdz, act, t_clamp=None,
                    occl=False, stats=False, pk=None):
+            if live_sort and bounce > 0 and not stats:
+                return _perm_trace(
+                    _trace_raw, act, (tox, toy, toz, tdx, tdy, tdz),
+                    t_clamp, occl=occl, pk=pk)
+            return _trace_raw(tox, toy, toz, tdx, tdy, tdz, act,
+                              t_clamp, occl, stats, pk)
+
+        def _trace_raw(tox, toy, toz, tdx, tdy, tdz, act, t_clamp=None,
+                       occl=False, stats=False, pk=None):
             """Trace a pool-shaped ray set with the configured engine.
 
             ``trace_fn`` (when given) replaces the local engines entirely
@@ -528,25 +568,48 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
             n_dz = jnp.where(spawn, co1.sdz, dz)
             # (spawned-ray counting happens at the next iteration's top,
             # exactly as in the sequential pipeline)
-            m_o = jnp.stack([jnp.concatenate([hpx + sdx * 1e-3, n_ox]),
-                             jnp.concatenate([hpy + sdy * 1e-3, n_oy]),
-                             jnp.concatenate([hpz + sdz * 1e-3, n_oz])],
-                            axis=1)
-            m_d = jnp.stack([jnp.concatenate([sdx, n_dx]),
-                             jnp.concatenate([sdy, n_dy]),
-                             jnp.concatenate([sdz, n_dz])], axis=1)
-            m_act = jnp.concatenate([sh_act, spawn])
-            m_tc = jnp.concatenate([dist_l * (1.0 - 1e-3),
-                                    jnp.full(r, LARGE_FLOAT)])
+            if live_sort:
+                # live-first packing per half (the occl_split boundary
+                # stays packet-aligned at r); unpermuted below
+                perm_s = jnp.argsort(~sh_act)
+                perm_b = jnp.argsort(~spawn)
+
+                def halves(s_half, b_half):
+                    return jnp.concatenate([s_half[perm_s],
+                                            b_half[perm_b]])
+
+                def unp_s(a):
+                    return jnp.zeros_like(a).at[perm_s].set(a)
+
+                def unp_b(a):
+                    return jnp.zeros_like(a).at[perm_b].set(a)
+            else:
+                def halves(s_half, b_half):
+                    return jnp.concatenate([s_half, b_half])
+
+                def unp_s(a):
+                    return a
+
+                unp_b = unp_s
+
+            m_o = jnp.stack([halves(hpx + sdx * 1e-3, n_ox),
+                             halves(hpy + sdy * 1e-3, n_oy),
+                             halves(hpz + sdz * 1e-3, n_oz)], axis=1)
+            m_d = jnp.stack([halves(sdx, n_dx), halves(sdy, n_dy),
+                             halves(sdz, n_dz)], axis=1)
+            m_act = halves(sh_act, spawn)
+            m_tc = halves(dist_l * (1.0 - 1e-3),
+                          jnp.full(r, LARGE_FLOAT))
             hm, m_steps = trace_packets(
                 wa, m_o, m_d, packet=bounce_packet, active=m_act,
                 t_max=m_tc, occl_split=r,
                 max_steps=400_000 + tune_nonce, alpha_ref=alpha_ref)
             steps_total = steps_total + m_steps
-            sh_dist = hm.dist[:r]
+            sh_dist = unp_s(hm.dist[:r])
             occluded = sh_act & (sh_dist < dist_l * (1.0 - 1e-3))
-            pending = (hm.dist[r:], hm.bx[r:], hm.by[r:], hm.tri[r:],
-                       hm.inst[r:])
+            pending = (unp_b(hm.dist[r:]), unp_b(hm.bx[r:]),
+                       unp_b(hm.by[r:]), unp_b(hm.tri[r:]),
+                       unp_b(hm.inst[r:]))
             # per-lane lit selection == computing with the gated lit
             occ = occluded
 

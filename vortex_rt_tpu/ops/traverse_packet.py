@@ -131,6 +131,11 @@ _ARRAY_STACK_DEFAULT = __import__("os").environ.get(
 # identity on every field but the step counter
 _UNROLL_DEFAULT = int(__import__("os").environ.get(
     "VORTEX_RT_UNROLL", "1"))
+
+# straggler-compaction round-shrink factor (see the compaction driver
+# below): 4 = round widths B/4, B/16, ...; 2 = B/2, B/4, B/8, ...
+_COMPACT_DIV_DEFAULT = max(int(__import__("os").environ.get(
+    "VORTEX_RT_COMPACT_DIV", "4")), 2)
 from vortex_rt_tpu.utils.config import LARGE_FLOAT, MT_EPSILON
 
 
@@ -703,12 +708,20 @@ def trace_packets(
     # straggler tail then iterates on cheap arrays.  Per-packet state
     # is self-contained, and completed hit fields scatter back to their
     # original rows after every round, so results are bit-identical.
+    # VORTEX_RT_COMPACT_DIV (default 4) sets the round-shrink factor.
+    # 2 halves the width between rounds: rounds whose target already
+    # exceeds the live count at entry exit after ZERO iterations (cond
+    # checks live <= target first), so low-entry-density waves — bounce
+    # waves where most lanes never spawned — stop paying full-width
+    # iterations almost immediately, at one argsort + row gather per
+    # skipped round.  Bit-identical either way (compaction only moves
+    # whole packets).
     targets = []
     if not stats:
-        t_ = b // 4
+        t_ = b // _COMPACT_DIV_DEFAULT
         while t_ >= 16:
             targets.append(t_)
-            t_ //= 4
+            t_ //= _COMPACT_DIV_DEFAULT
     targets.append(0)
 
     hit_keys = ["best_t", "bx", "by", "tri"] + (
