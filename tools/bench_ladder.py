@@ -327,8 +327,14 @@ def config5(draws, res=None):
     base_y = dv[0][:, 1], dv[1][:, 1], dv[2][:, 1]
 
     def move(v, y0, t):
-        y = y0 + 0.3 * jnp.sin(0.7 * v[:, 0] + 2.1 * t) \
-            * jnp.cos(0.5 * v[:, 2] - 1.3 * t)
+        # ripple field with field(0) subtracted so t=0 reproduces the
+        # HOST geometry bitwise (a*b - a*b == 0): the parity gate below
+        # compares the t=0 refit frame against the golden oracle, which
+        # traces the host buffers
+        def field(t_):
+            return 0.3 * jnp.sin(0.7 * v[:, 0] + 2.1 * t_) \
+                * jnp.cos(0.5 * v[:, 2] - 1.3 * t_)
+        y = y0 + field(t) - field(jnp.float32(0.0))
         return v.at[:, 1].set(y)
 
     r = WavefrontRenderer.from_buffers(sb, config=cfg)
@@ -399,7 +405,12 @@ def config6(draws):
     rec = dict(config=6, scene="atrium_tex+alpha-anyhit", tris=sb.num_tris,
                res="512x512", spp=2, depth=2, shadow=True, anyhit=True,
                knobs=_knobs(cfg))
-    rec.update(_bench_burst(r, cam, p, 512, 512, draws))
+    # per-dispatch timing: the in-loop alpha test costs ~3.7x per wave
+    # (texel gather per MT candidate), so a 16-frame in-program burst at
+    # this scene is a multi-minute dispatch — past the TPU worker
+    # watchdog (measured: the r4 ladder's config-6 burst killed the
+    # worker; single frames run 7.2 s)
+    rec.update(_bench_frames(r, cam, p, 512, 512))
 
     # parity vs the per-ray suspension engine at a reduced size (the
     # golden oracle has no any-hit protocol; the suspension engine is
@@ -438,8 +449,16 @@ def main():
         print(json.dumps(rec), flush=True)
         out.append(rec)
     if a.write:
-        with open("/root/repo/BENCH_LADDER.json", "w") as f:
-            json.dump(out, f, indent=1)
+        path = "/root/repo/BENCH_LADDER.json"
+        rows = {}
+        try:
+            with open(path) as f:
+                rows = {r.get("config"): r for r in json.load(f)}
+        except (OSError, ValueError):
+            pass
+        rows.update({r.get("config"): r for r in out})
+        with open(path, "w") as f:
+            json.dump([rows[k] for k in sorted(rows)], f, indent=1)
 
 
 if __name__ == "__main__":

@@ -87,6 +87,9 @@ def main():
         env["VORTEX_RT_UNROLL"] = next(
             (k[1:] for k in knobs if k.startswith("u") and k[1:].isdigit()),
             "1")
+        # round-4 staged levers (tests/test_livesort.py)
+        env["VORTEX_RT_LIVE_SORT"] = "1" if "live" in knobs else "0"
+        env["VORTEX_RT_COMPACT_DIV"] = "2" if "c2" in knobs else "4"
         rc = subprocess.call(
             [sys.executable, os.path.abspath(__file__), "--one", spec,
              "--frames", str(args.frames), "--spp", str(args.spp),
