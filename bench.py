@@ -138,12 +138,19 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
+    # reproducibility: record every sweepable env knob that shaped this
+    # number (VERDICT r3 hygiene #9)
+    knob_env = {k: v for k, v in os.environ.items()
+                if k.startswith("VORTEX_RT_")}
     print(json.dumps({
         "metric": ("Mrays/s sustained (wavefront+packets, cornell+teapot, "
                    "512x512 spp2, 2-bounce + shadow rays, 16-frame bursts)"),
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+        "knobs": dict(bvh_width=r.wa.width, max_leaf_tris=leaf,
+                      fused_rows=r.wa.fused is not None,
+                      bounce_packet=cfg.bounce_packet, env=knob_env),
     }))
 
 

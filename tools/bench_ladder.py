@@ -41,6 +41,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force_sync(arr):
+    """Pull one element D2H before timing device work.
+
+    The axon backend runs fully async until the FIRST device->host
+    transfer, and block_until_ready does not wait in that mode
+    (docs/ARCHITECTURE.md measurement traps) — a solo config run timed
+    the 1M-tri LBVH build at 0.0 s.  One tiny D2H flips the runtime
+    into sync mode so every later timer is honest."""
+    np.asarray(arr[:1])
+
+
 def _ladder_cfg(**kw):
     """Ladder RTConfig with env-sweepable build knobs (the hardware
     width/leaf sweep: VORTEX_RT_BVH_WIDTH=8 VORTEX_RT_LEAF=8 ladder)."""
@@ -218,6 +229,7 @@ def _scale_cfg(num, scene, spp, depth, draws, lbvh=False):
         # was compile + axon dispatch, not the build) by building twice
         # — the second call hits the jit cache and times the build alone
         r = WavefrontRenderer.from_buffers(sb, config=cfg)
+        _force_sync(r.wa.nodes)
 
         def dev_build():
             t0 = time.perf_counter()
@@ -310,6 +322,7 @@ def config5(draws, res=None):
     # ---- on-device topology build (once per scene), compile/run split
     v0, v1, v2 = pad_tris(sb.v0, sb.v1, sb.v2, cfg.max_leaf_tris)
     dv = [jnp.asarray(v) for v in (v0, v1, v2)]
+    _force_sync(dv[0])
 
     def build_once():
         t0 = time.perf_counter()
@@ -418,8 +431,11 @@ def config6(draws):
     from vortex_rt_tpu.utils.config import RTConfig
 
     img_fast, _ = r.render(cam, p, 192, 192)
+    # the suspension protocol needs the TLAS (non-flattened) build —
+    # packed flat leaf ids cannot round-trip through any-hit shaders
     slow_cfg = RTConfig(packet_size=0, bounce_packet=0, lanes=4096)
-    r_slow = WavefrontRenderer.from_buffers(sb, config=slow_cfg,
+    sb_tlas = sc.build(slow_cfg)
+    r_slow = WavefrontRenderer.from_buffers(sb_tlas, config=slow_cfg,
                                             table=table)
     img_slow, _ = r_slow.render(cam, p, 192, 192)
     rmse = float(np.sqrt(((img_fast - img_slow) ** 2).mean()))
@@ -456,6 +472,15 @@ def main():
                 rows = {r.get("config"): r for r in json.load(f)}
         except (OSError, ValueError):
             pass
+        # compile-time regression alarm (VERDICT r3 #7): flag any row
+        # whose compile_s more than doubled vs the previous artifact
+        for rec in out:
+            old = rows.get(rec.get("config"), {})
+            o, n_ = old.get("compile_s"), rec.get("compile_s")
+            if o and n_ and n_ > 2 * o:
+                rec["compile_regression"] = f"{o}s -> {n_}s"
+                print(f"WARNING config {rec.get('config')}: compile_s "
+                      f"{o} -> {n_} (>2x)", file=sys.stderr, flush=True)
         rows.update({r.get("config"): r for r in out})
         with open(path, "w") as f:
             json.dump([rows[k] for k in sorted(rows)], f, indent=1)
