@@ -217,8 +217,10 @@ def _scale_cfg(num, scene, spp, depth, draws, lbvh=False):
             sc.add_instance(sc.add_mesh(m), reflectivity=refl)
     # flat single-BVH build (the wavefront engine's production layout);
     # config 3 swaps in the on-device LBVH (itself flat) below.
-    # bounce_packet 16: the 1080p d3 sweep optimum (config knob comment)
-    cfg = _ladder_cfg(bounce_packet=16)
+    # bounce_packet: the r3-era 1080p optimum was 16 (pre-fused, width
+    # 4); the r4 8-wide+fused sweep measured bp=32 1.5x faster at this
+    # exact shape (1.36 vs 2.12 s/pass) — use the RTConfig default (32)
+    cfg = _ladder_cfg()
     sb = sc.build(cfg)
     rec = dict(config=num, scene=scene, tris=sb.num_tris, res="1920x1080",
                spp=spp, depth=depth, shadow=True, pathtrace=True,
@@ -313,7 +315,7 @@ def config5(draws, res=None):
     m = bigscenes.wavy_grid(n=708)
     sc = Scene()
     sc.add_instance(sc.add_mesh(m))
-    cfg = _ladder_cfg(bounce_packet=16)
+    cfg = _ladder_cfg()   # bp default 32: the r4 sweep optimum
     sb = sc.build(cfg)   # host buffers: shading tables + the parity oracle
     rec = dict(config=5, scene="waves-1M", tris=sb.num_tris,
                res=f"{w}x{h}", spp=2, depth=2, shadow=True,

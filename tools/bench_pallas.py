@@ -96,5 +96,44 @@ def main():
     print(f"parity: hit-agree={agree:.4f} max|dt|={terr:.2e}", flush=True)
 
 
+def frame():
+    """Frame-level number for the WIRED pallas_waves route (VERDICT r3
+    #6): the full wavefront bench frame with RTConfig.pallas_waves =
+    'coherent' (primary + shadow-0 through the Mosaic kernel) vs 'off',
+    same scene, same spp/depth — the usable record rule 28 asks for."""
+    import time
+
+    from bench import bench_scene
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.models.scene import Camera, RenderParams
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    sb = bench_scene()
+    cam = Camera.look_at([0.05, 0.02, -3.2], [0.0, -0.05, 0.0], [0, 1, 0],
+                         45.0, 1.0)
+    p = RenderParams(light_pos=(0, 0.8, -0.5), max_depth=2, shadow=True,
+                     spp=2)
+    for mode in ("off", "coherent"):
+        # the kernel is width-4 only; pin the build so both modes trace
+        # the same tree
+        cfg = RTConfig(flatten=True, bvh_width=4, pallas_waves=mode)
+        r = WavefrontRenderer.from_buffers(sb, cfg)
+        t0 = time.perf_counter()
+        r.render_burst(cam, p, 512, 512, n_frames=16, seed0=0,
+                       rays_only=True)
+        comp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        total = int(r.render_burst(cam, p, 512, 512, n_frames=16,
+                                   seed0=16, rays_only=True))
+        dt = time.perf_counter() - t0
+        print(f"pallas_waves={mode}: compile+first={comp:.1f}s "
+              f"{dt*1e3/16:.2f} ms/frame  {total/dt/1e6:.1f} Mrays/s",
+              flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--frame" in sys.argv:
+        sys.argv.remove("--frame")
+        frame()
+    else:
+        main()

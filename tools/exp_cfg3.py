@@ -43,6 +43,13 @@ def run_one(spec: str, frames: int, spp: int, bp: int) -> None:
     cfg_kw = dict(flatten=True, bvh_width=bw, max_leaf_tris=leaf)
     if bp >= 0:
         cfg_kw["bounce_packet"] = bp
+    knobs = spec.split("+")[1:]
+    if "pw" in knobs:
+        # route waves through the Mosaic per-ray scalar walk (width-4
+        # only; incoherent bounce waves pay NO union waste there)
+        cfg_kw["pallas_waves"] = "all"
+    elif "pwc" in knobs:
+        cfg_kw["pallas_waves"] = "coherent"
     cfg = RTConfig(**cfg_kw)
     sb = sc.build(cfg)
     r = WavefrontRenderer.from_buffers(sb, cfg)

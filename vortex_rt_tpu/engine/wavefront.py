@@ -1032,13 +1032,15 @@ def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
-                          "table", "packet", "shadow", "tile_w", "tile_h"))
+                          "table", "packet", "shadow", "tile_w", "tile_h",
+                          "bounce_packet", "shadow_packet"))
 def render_stats(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                  table: ShaderTable = None, seed: int = 0,
                  packet: int = 128, shadow: bool = False,
-                 tile_w: int = 16, tile_h: int = 16):
+                 tile_w: int = 16, tile_h: int = 16,
+                 bounce_packet=None, shadow_packet=None):
     """One frame with whole-frame PacketStats: returns (rays, steps,
     {wave: PacketStats}) — the full-frame RTU PerfStats analog
     (rt_unit.h:15-45), per wave (primary / shadow / bounce-k)."""
@@ -1046,6 +1048,7 @@ def render_stats(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         wa, sa, cam, light, width, height, width * height, 0,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
         packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
+        bounce_packet=bounce_packet, shadow_packet=shadow_packet,
         collect_stats=True)
     return rays + (img.sum() * jnp.float32(1e-30)).astype(jnp.int32), \
         steps, wstats
@@ -1320,7 +1323,9 @@ class WavefrontRenderer:
             max_depth=params.max_depth, spp=params.spp,
             chunk=self.config.lanes, table=self._table_for(params),
             packet=self.config.packet_size, shadow=params.shadow,
-            tile_w=self.config.tile_w, tile_h=self.config.tile_h)
+            tile_w=self.config.tile_w, tile_h=self.config.tile_h,
+            bounce_packet=self.config.bounce_packet,
+            shadow_packet=self.config.shadow_packet)
         out = dict(rays=int(rays), steps=int(steps),
                    packet_size=self.config.packet_size)
         for name in sorted(wstats):
