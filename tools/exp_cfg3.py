@@ -44,6 +44,15 @@ def run_one(spec: str, frames: int, spp: int, bp: int) -> None:
     if bp >= 0:
         cfg_kw["bounce_packet"] = bp
     knobs = spec.split("+")[1:]
+    for k in knobs:
+        if k.startswith("f") and k[1:].isdigit():
+            # multi-front bounce-wave walk (trace_packets fronts)
+            cfg_kw["bounce_fronts"] = int(k[1:])
+        if k.startswith("s") and k[1:].isdigit():
+            # slab size in Ki lanes (s128 -> 131072): the while-loop
+            # gather batch (rule 33 — amortize the ~13 us fixed
+            # iteration latency over more packets)
+            cfg_kw["slab"] = int(k[1:]) * 1024
     if "pw" in knobs:
         # route waves through the Mosaic per-ray scalar walk (width-4
         # only; incoherent bounce waves pay NO union waste there)

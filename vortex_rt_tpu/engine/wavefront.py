@@ -291,7 +291,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                    alive, max_depth, shadow, bilinear, packet, chunk,
                    tune_nonce, slab, stage_limit=None, collect_stats=False,
                    trace_fn=None, bounce_packet=None, shadow_packet=None,
-                   pallas_waves="off"):
+                   pallas_waves="off", bounce_fronts=1):
     """The bounce pipeline over one lane set (trace + shadow occlusion +
     shade + spawn, max_depth waves).  Works at any lane count: the
     slab-major frame maps it over VMEM-sized groups (every intermediate
@@ -333,6 +333,11 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
     # shadow_packet None: each shadow wave follows its bounce's packet
     # size (primary-size at bounce 0, bounce_packet after) - measured
     # best; a uniform override is available for experiments
+    # bounce_fronts > 1: incoherent (k>0) waves walk F stack nodes per
+    # packet per iteration (trace_packets fronts; flat builds only) —
+    # coherent bounce-0 waves stay single-front (their walks are short
+    # and union-tight; fronts would only inflate visits)
+    bounce_fronts = max(int(bounce_fronts or 1), 1)
 
     def _run(stage):
         return stage_limit is None or stage <= stage_limit
@@ -441,6 +446,8 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                 d3 = jnp.stack([tdx, tdy, tdz], axis=1)
                 tc = (jnp.full(r, LARGE_FLOAT) if t_clamp is None
                       else t_clamp)
+                # incoherent (k>0) waves get the multi-front walk
+                fr = bounce_fronts if bounce > 0 else 1
                 # tune_nonce perturbs the (never-reached) step budget so
                 # the HLO hash changes: the compile-basin redraw knob
                 # (runtime.warmup.reroll, ARCHITECTURE.md rule 13)
@@ -453,7 +460,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                         h, st = trace_packets(
                             wa, go, gd, packet=pk, active=ga,
                             t_max=gt, occlusion=occl, max_steps=ms,
-                            alpha_ref=alpha_ref)
+                            alpha_ref=alpha_ref, fronts=fr)
                         return (h.dist, h.bx, h.by, h.tri, h.inst, st)
 
                     outs = jax.lax.map(
@@ -467,7 +474,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                 h, st = trace_packets(wa, o3, d3, packet=pk,
                                       active=act, t_max=tc, occlusion=occl,
                                       max_steps=ms, stats=stats,
-                                      alpha_ref=alpha_ref)
+                                      alpha_ref=alpha_ref, fronts=fr)
                 if stats:
                     return (h.dist, h.bx, h.by, h.tri, h.inst, st.steps,
                             st)
@@ -600,10 +607,13 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
             m_act = halves(sh_act, spawn)
             m_tc = halves(dist_l * (1.0 - 1e-3),
                           jnp.full(r, LARGE_FLOAT))
+            # the merged wave always carries trace_{bounce+1} (incoherent
+            # for every bounce) — it gets the multi-front walk
             hm, m_steps = trace_packets(
                 wa, m_o, m_d, packet=bounce_packet, active=m_act,
                 t_max=m_tc, occl_split=r,
-                max_steps=400_000 + tune_nonce, alpha_ref=alpha_ref)
+                max_steps=400_000 + tune_nonce, alpha_ref=alpha_ref,
+                fronts=bounce_fronts)
             steps_total = steps_total + m_steps
             sh_dist = unp_s(hm.dist[:r])
             occluded = sh_act & (sh_dist < dist_l * (1.0 - 1e-3))
@@ -666,7 +676,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                collect_stats: bool = False, trace_fn=None,
                bounce_packet: Optional[int] = None,
                shadow_packet: Optional[int] = None,
-               pallas_waves: str = "off"):
+               pallas_waves: str = "off",
+               bounce_fronts: int = 1):
     """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
     must be a whole number of rows for the tiled layout).  Returns
     ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
@@ -751,7 +762,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 max_depth, shadow, bilinear, packet, chunk, tune_nonce, 0,
                 stage_limit=stage_limit, collect_stats=collect_stats,
                 trace_fn=trace_fn, bounce_packet=bounce_packet,
-                shadow_packet=shadow_packet, pallas_waves=pallas_waves)
+                shadow_packet=shadow_packet, pallas_waves=pallas_waves,
+                bounce_fronts=bounce_fronts)
             return rr, rg, rb, rays, steps, probe, wstats
 
         gis = jnp.arange(g, dtype=jnp.int32)
@@ -835,7 +847,8 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         max_depth, shadow, bilinear, packet, chunk, tune_nonce, slab,
         stage_limit=stage_limit, collect_stats=collect_stats,
         trace_fn=trace_fn, bounce_packet=bounce_packet,
-        shadow_packet=shadow_packet, pallas_waves=pallas_waves)
+        shadow_packet=shadow_packet, pallas_waves=pallas_waves,
+        bounce_fronts=bounce_fronts)
 
     # ---- resolve: rays never moved lanes, so pool order IS (pixel, spp)
     # order; tile-major lanes resolve with a reshape+transpose.  Channels
@@ -863,7 +876,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
                           "bilinear", "bounce_packet", "shadow_packet",
-                          "pallas_waves"))
+                          "pallas_waves", "bounce_fronts", "slab"))
 def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      light: LightArrays, width: int, height: int,
                      max_depth: int = 2, spp: int = 1, chunk: int = 4096,
@@ -871,14 +884,16 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      packet: int = 128, shadow: bool = False,
                      tile_w: int = 16, tile_h: int = 16,
                      bilinear: bool = False, bounce_packet=None,
-                     shadow_packet=None, pallas_waves: str = "off"):
+                     shadow_packet=None, pallas_waves: str = "off",
+                     bounce_fronts: int = 1, slab: int = 32768):
     """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
     img, rays, steps = frame_body(
         wa, sa, cam, light, width, height, width * height, 0,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
         packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
         bilinear=bilinear, bounce_packet=bounce_packet,
-        shadow_packet=shadow_packet, pallas_waves=pallas_waves)
+        shadow_packet=shadow_packet, pallas_waves=pallas_waves,
+        bounce_fronts=bounce_fronts, slab=slab)
     return (img.reshape(3, height, width).transpose(1, 2, 0),
             rays, steps)
 
@@ -887,21 +902,22 @@ def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
                  chunk=4096, table=None, seed=0, packet=128,
                  tile_w=16, tile_h=16, shadow=False, bilinear=False,
                  bounce_packet=None, shadow_packet=None,
-                 pallas_waves="off"):
+                 pallas_waves="off", bounce_fronts=1, slab=32768):
     """Host wrapper around render_wavefront (kept as the stable API)."""
     return render_wavefront(
         wa, sa, cam, light, width, height, max_depth=max_depth, spp=spp,
         chunk=chunk, table=table, seed=seed, packet=packet,
         shadow=shadow, tile_w=tile_w, tile_h=tile_h, bilinear=bilinear,
         bounce_packet=bounce_packet, shadow_packet=shadow_packet,
-        pallas_waves=pallas_waves)
+        pallas_waves=pallas_waves, bounce_fronts=bounce_fronts, slab=slab)
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
                           "n_frames", "tune_nonce", "bounce_packet",
-                          "shadow_packet", "pallas_waves"))
+                          "shadow_packet", "pallas_waves",
+                          "bounce_fronts", "slab"))
 def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_frames: int = 16, seed0=0,
@@ -910,7 +926,8 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  packet: int = 128, shadow: bool = False,
                  tile_w: int = 16, tile_h: int = 16,
                  tune_nonce: int = 0, bounce_packet=None,
-                 shadow_packet=None, pallas_waves: str = "off"):
+                 shadow_packet=None, pallas_waves: str = "off",
+                 bounce_fronts: int = 1, slab: int = 32768):
     """Render ``n_frames`` frames (seeds seed0..seed0+n-1) inside ONE XLA
     program, reduced to ONE i32: the exact total ray count (plus an
     always-zero anti-DCE guard derived from the radiance checksum).  No
@@ -944,7 +961,8 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             seed=seed, packet=packet, shadow=shadow,
             tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce,
             bounce_packet=bounce_packet, shadow_packet=shadow_packet,
-            pallas_waves=pallas_waves)
+            pallas_waves=pallas_waves, bounce_fronts=bounce_fronts,
+            slab=slab)
         return img.sum(), rays, steps
 
     seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
@@ -956,7 +974,8 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "n_passes", "bounce_packet", "shadow_packet"))
+                          "n_passes", "bounce_packet", "shadow_packet",
+                          "bounce_fronts", "slab"))
 def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_passes: int = 4, seed0=0,
@@ -964,7 +983,8 @@ def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  table: ShaderTable = None,
                  packet: int = 128, shadow: bool = False,
                  tile_w: int = 16, tile_h: int = 16, bounce_packet=None,
-                 shadow_packet=None):
+                 shadow_packet=None, bounce_fronts: int = 1,
+                 slab: int = 32768):
     """Progressive accumulation: average ``n_passes`` frames (stratified
     over spp*n_passes total samples per pixel) inside ONE XLA program.
     Returns ((H, W, 3) image, total rays, total steps).
@@ -985,7 +1005,8 @@ def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             max_depth=max_depth, spp=spp, chunk=chunk, table=table,
             seed=seed, packet=packet, shadow=shadow,
             tile_w=tile_w, tile_h=tile_h, total_spp=total,
-            bounce_packet=bounce_packet, shadow_packet=shadow_packet)
+            bounce_packet=bounce_packet, shadow_packet=shadow_packet,
+            bounce_fronts=bounce_fronts, slab=slab)
         a_img, a_rays, a_steps = acc
         return (a_img + img, a_rays + rays, a_steps + steps), None
 
@@ -1033,14 +1054,16 @@ def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "bounce_packet", "shadow_packet"))
+                          "bounce_packet", "shadow_packet",
+                          "bounce_fronts", "slab"))
 def render_stats(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  max_depth: int = 2, spp: int = 1, chunk: int = 4096,
                  table: ShaderTable = None, seed: int = 0,
                  packet: int = 128, shadow: bool = False,
                  tile_w: int = 16, tile_h: int = 16,
-                 bounce_packet=None, shadow_packet=None):
+                 bounce_packet=None, shadow_packet=None,
+                 bounce_fronts: int = 1, slab: int = 32768):
     """One frame with whole-frame PacketStats: returns (rays, steps,
     {wave: PacketStats}) — the full-frame RTU PerfStats analog
     (rt_unit.h:15-45), per wave (primary / shadow / bounce-k)."""
@@ -1049,7 +1072,7 @@ def render_stats(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
         packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
         bounce_packet=bounce_packet, shadow_packet=shadow_packet,
-        collect_stats=True)
+        bounce_fronts=bounce_fronts, slab=slab, collect_stats=True)
     return rays + (img.sum() * jnp.float32(1e-30)).astype(jnp.int32), \
         steps, wstats
 
@@ -1255,6 +1278,8 @@ class WavefrontRenderer:
             bilinear=self.config.tex_filter == "bilinear",
             bounce_packet=self.config.bounce_packet,
             shadow_packet=self.config.shadow_packet,
+            bounce_fronts=self.config.bounce_fronts,
+            slab=self.config.slab,
             pallas_waves=self.config.pallas_waves)
         return np.asarray(img), int(nrays)
 
@@ -1291,6 +1316,8 @@ class WavefrontRenderer:
             shadow=params.shadow, tune_nonce=self._dev_cache.get("nonce", 0),
             bounce_packet=self.config.bounce_packet,
             shadow_packet=self.config.shadow_packet,
+            bounce_fronts=self.config.bounce_fronts,
+            slab=self.config.slab,
             pallas_waves=self.config.pallas_waves)
         if rays_only:
             return int(nrays)
@@ -1325,7 +1352,9 @@ class WavefrontRenderer:
             packet=self.config.packet_size, shadow=params.shadow,
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             bounce_packet=self.config.bounce_packet,
-            shadow_packet=self.config.shadow_packet)
+            shadow_packet=self.config.shadow_packet,
+            bounce_fronts=self.config.bounce_fronts,
+            slab=self.config.slab)
         out = dict(rays=int(rays), steps=int(steps),
                    packet_size=self.config.packet_size)
         for name in sorted(wstats):
@@ -1411,7 +1440,9 @@ class WavefrontRenderer:
             tile_w=self.config.tile_w, tile_h=self.config.tile_h,
             shadow=params.shadow,
             bounce_packet=self.config.bounce_packet,
-            shadow_packet=self.config.shadow_packet)
+            shadow_packet=self.config.shadow_packet,
+            bounce_fronts=self.config.bounce_fronts,
+            slab=self.config.slab)
         return np.asarray(img), int(nrays)
 
     def _render_chunked(self, cam: Camera, params: RenderParams,

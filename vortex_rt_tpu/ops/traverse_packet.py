@@ -177,6 +177,7 @@ def trace_packets(
     array_stack: Optional[bool] = None,
     unroll: Optional[int] = None,
     alpha_ref: Optional[float] = None,
+    fronts: int = 1,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
 
@@ -211,7 +212,21 @@ def trace_packets(
     per-ray suspension (rt_unit.cpp:190-213; shaders/anyhit.cpp is the
     stub this implements for real).  Alpha rejection is a pure
     per-candidate predicate, so evaluating it inside the loop visits
-    the identical accepted-hit set as the per-ray suspension engine."""
+    the identical accepted-hit set as the per-ray suspension engine.
+
+    ``fronts=F`` (flat builds only) walks F stack nodes per packet per
+    iteration: ONE (F*B,)-row gather + F-axis-batched slab/MT tests
+    halve(+) the iteration count of incoherent waves whose per-iteration
+    cost is gather-latency-bound (measured: two independent node-row
+    gathers in one while-iteration cost 1.42x one, not 2x —
+    tools/exp_dualfront.py, ARCHITECTURE.md rule 32).  The fronts drain
+    one SHARED per-packet stack, so together they run the same DFS; hits
+    are bit-identical (each ray's result is a min-fold over its own
+    intersecting candidates with the exact lexicographic tie-break —
+    visit ORDER changes, the candidate winner cannot; same argument as
+    packet-size/compaction bit-compatibility).  Falls back to 1 front
+    on TLAS builds (per-front local-space lanes would re-inflate the
+    loop state flattening removed)."""
     r = o.shape[0]
     p = int(packet)
     assert r % p == 0, "ray count must be a multiple of the packet size"
@@ -235,6 +250,7 @@ def trace_packets(
         unroll = _UNROLL_DEFAULT
     unroll = max(int(unroll), 1)
     flat = wa.num_tlas == 0 and wa.tri_bits > 0
+    fronts = max(int(fronts), 1) if flat else 1
     assert alpha_ref is None or wa.alpha_rows is not None, \
         "alpha_ref requires WideArrays.with_alpha tables"
     n_pool = int(wa.nodes.shape[0])
@@ -252,8 +268,10 @@ def trace_packets(
     n_leaf_rows = int(wa.tri_rows.shape[0])
     lmax = max(int(wa.max_leaf_tris), 1)
     eps = jnp.float32(MT_EPSILON)
-    # overflow-proof stack: one deferred-children word per descended level
-    stack_n = int(wa.depth) + 4
+    # overflow-proof stack: one deferred-children word per descended
+    # level (x fronts: each concurrent front can hold its own descend
+    # chain's words on the shared stack)
+    stack_n = (int(wa.depth) + 4) * fronts
 
     def l2(x):  # (R,) -> (B, P)
         return x.reshape(b, p)
@@ -287,10 +305,21 @@ def trace_packets(
             return (v,) + tuple(st[1:])
 
         st0_ = (zi,) * stack_n
-    state = dict(
-        node=zi,
-        stack=st0_, scount=zi,
-    )
+    if fronts > 1:
+        # per-front node lanes as a tuple of (B,) leaves (compaction's
+        # generic axis-0 row gather then needs no special-casing), plus
+        # a per-front "holds a valid node" flag; front 0 starts at root
+        state = dict(
+            node=(zi,) * fronts,
+            f_on=((jnp.ones(b, bool),)
+                  + (jnp.zeros(b, bool),) * (fronts - 1)),
+            stack=st0_, scount=zi,
+        )
+    else:
+        state = dict(
+            node=zi,
+            stack=st0_, scount=zi,
+        )
     if w_ == 8:
         state.update(stack2=st0_)
     if not flat:
@@ -692,9 +721,304 @@ def trace_packets(
                          lix=lix, liy=liy, liz=liz, best_inst=best_inst)
             return [s[k] for k in keys]
 
+        def sub_step_mf(sl):
+            """Multi-front walk step (fronts > 1, flat builds): F stack
+            nodes per packet per iteration through ONE (F*B,)-row gather;
+            the fronts push/pop one shared packed-word stack in fixed
+            front order (sequential masked ops), so the union DFS is
+            simply consumed F nodes at a time.
+
+            Each front's slab/sort/MT chains run at the SINGLE-front
+            shapes ((C,B,P)/(L,B,P)) with best_t threaded sequentially
+            between fronts — semantically two consecutive single-front
+            iterations that happen to share one gather.  An F-axis-
+            batched variant was measurably NOT bit-identical: XLA
+            contracts mul+add chains differently at (L,F,B,P) than at
+            (L,B,P) (last-ulp bary drift on 12% of rays) — same-shaped
+            subgraphs are the empirically bit-stable form (the same
+            property packet-size/compaction variants already rely on).
+            Visit sets form a superset of single-front's (a front's
+            prune may lag a sibling's same-iteration fold), but each
+            ray's hit is the lexicographic (t, id) min over its own
+            candidates — composition-independent."""
+            F = fronts
+            s = dict(zip(keys, sl))
+            act = ~s["done"]
+            stack, scount = s["stack"], s["scount"]
+            if w_ == 8:
+                stack2 = s["stack2"]
+            best_t, bx, by, tri = s["best_t"], s["bx"], s["by"], s["tri"]
+            if mixed:
+                occ_pk = s["is_occ"][:, None]
+
+            # ---- ONE gather serves all fronts (the latency win:
+            # tools/exp_dualfront.py — a 2B-row gather costs 1.42x a
+            # B-row one, two separate gathers cost 2.1x) ----
+            flat_idx = jnp.concatenate(
+                [jnp.clip(n, 0, n_pool - 1) for n in s["node"]])
+            if wa.fused is not None:
+                grow_all = wa.fused[flat_idx].T        # (32+16L, F*B)
+            else:
+                grow_all = wa.nodes[flat_idx].T        # (32, F*B)
+
+            descend_f, next_f, want_pop_f = [], [], []
+            int_ct = tri_ct = None
+            for f in range(F):
+                rowt = grow_all[:32, f * b:(f + 1) * b]    # (32, B)
+                on_f = s["f_on"][f] & act
+                meta = rowt[moff]
+                kind = (meta >> 29).astype(jnp.int32)
+                nch = ((meta >> lbits) & nmask).astype(jnp.int32)
+                left = (meta & lmask).astype(jnp.int32)
+                leaf_data = _bitcast_i32(rowt[loff])
+                is_int = on_f & (kind == qbvh.KIND_INTERNAL)
+                is_tri = on_f & (kind == qbvh.KIND_TRIS)
+                if stats:
+                    int_ct = (is_int.sum(dtype=jnp.int32) if int_ct is None
+                              else int_ct + is_int.sum(dtype=jnp.int32))
+                    tri_ct = (is_tri.sum(dtype=jnp.int32) if tri_ct is None
+                              else tri_ct + is_tri.sum(dtype=jnp.int32))
+
+                # ---- internal: batched slab tests (single-front form,
+                # pruned against the front-sequential best_t) ----
+                gx, gy, gz = (_bitcast_f32(rowt[0]), _bitcast_f32(rowt[1]),
+                              _bitcast_f32(rowt[2]))
+                sx, sy, sz = (_bitcast_f32(rowt[3]), _bitcast_f32(rowt[4]),
+                              _bitcast_f32(rowt[5]))
+                qlc = jnp.stack([rowt[qoff + c] for c in range(w_)])
+                qhc = jnp.stack([rowt[hoff + c] for c in range(w_)])
+
+                def corner(q, sh, g, sc):
+                    fq = ((q >> sh) & 255).astype(jnp.float32) if sh else \
+                        (q & 255).astype(jnp.float32)
+                    return (g[None] + fq * sc[None])[:, :, None]
+
+                lx = corner(qlc, 0, gx, sx); hx = corner(qhc, 0, gx, sx)
+                ly = corner(qlc, 8, gy, sy); hy = corner(qhc, 8, gy, sy)
+                lz = corner(qlc, 16, gz, sz); hz = corner(qhc, 16, gz, sz)
+                t1x = (lx - ox[None]) * ivx[None]
+                t2x = (hx - ox[None]) * ivx[None]
+                t1y = (ly - oy[None]) * ivy[None]
+                t2y = (hy - oy[None]) * ivy[None]
+                t1z = (lz - oz[None]) * ivz[None]
+                t2z = (hz - oz[None]) * ivz[None]
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x),
+                                jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x),
+                                jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z))
+                hc = (tmax >= tmin) & (tmax > 0.0) & (tmin < best_t[None])
+                any_hit = (jnp.any(hc, axis=2)
+                           & (jnp.arange(w_, dtype=jnp.int32)[:, None]
+                              < nch[None]))
+                pd = jnp.min(jnp.where(hc, tmin, LARGE_FLOAT), axis=2)
+                pdm = jnp.where(any_hit, pd, _MISS)
+                m = jnp.sum((pdm > _MISS).astype(jnp.int32), axis=0)
+                if lax_sort:
+                    _, sidx = jax.lax.sort(
+                        (-pdm, jnp.broadcast_to(
+                            jnp.arange(w_, dtype=jnp.int32)[:, None],
+                            (w_, b))),
+                        dimension=0, is_stable=True, num_keys=1)
+                    idxs = [sidx[c] for c in range(w_)]
+                else:
+                    dists = [pdm[c] for c in range(w_)]
+                    idxs = [jnp.full(b, c, jnp.int32) for c in range(w_)]
+                    for a_i, b_i in _SORT_NET[w_]:
+                        swap = dists[a_i] < dists[b_i]
+                        da, db = dists[a_i], dists[b_i]
+                        ia, ib = idxs[a_i], idxs[b_i]
+                        dists[a_i] = jnp.where(swap, db, da)
+                        dists[b_i] = jnp.where(swap, da, db)
+                        idxs[a_i] = jnp.where(swap, ib, ia)
+                        idxs[b_i] = jnp.where(swap, ia, ib)
+
+                descend = is_int & (m >= 1)
+                child_slot = _at_pos(idxs, m - 1)
+                if w_ == 4:
+                    cnt_def = jnp.clip(m - 1, 0, 3)
+                    word = ((left << 8) | (cnt_def << 6)
+                            | (idxs[0] & 3) | ((idxs[1] & 3) << 2)
+                            | ((idxs[2] & 3) << 4))
+                    stack, scount = st_push(stack, scount, word,
+                                            descend & (cnt_def >= 1))
+                else:
+                    cnt_def = jnp.clip(m - 1, 0, 7)
+                    word0 = (left << 4) | cnt_def
+                    word1 = idxs[0] & 7
+                    for j in range(1, 7):
+                        word1 = word1 | ((idxs[j] & 7) << (3 * j))
+                    push_mask = descend & (cnt_def >= 1)
+                    stack2, _ = st_push(stack2, scount, word1, push_mask)
+                    stack, scount = st_push(stack, scount, word0,
+                                            push_mask)
+
+                # ---- triangle leaf: single-front-shaped MT fold ----
+                if wa.fused is not None:
+                    lrowt = _bitcast_f32(
+                        grow_all[32:, f * b:(f + 1) * b])
+                else:
+                    lrowt = wa.tri_rows[
+                        jnp.clip(left, 0, n_leaf_rows - 1)].T
+                cnt = leaf_data
+
+                def lf(k, lrowt=lrowt):
+                    return jnp.stack([lrowt[16 * c + k]
+                                      for c in range(lmax)])[:, :, None]
+
+                v0x, v0y, v0z = lf(0), lf(1), lf(2)
+                e1x, e1y, e1z = lf(3), lf(4), lf(5)
+                e2x, e2y, e2z = lf(6), lf(7), lf(8)
+                tid = jnp.stack([_bitcast_i32(lrowt[16 * c + 9])
+                                 for c in range(lmax)])
+                ld_x, ld_y, ld_z = dx[None], dy[None], dz[None]
+                hx_ = ld_y * e2z - ld_z * e2y
+                hy_ = ld_z * e2x - ld_x * e2z
+                hz_ = ld_x * e2y - ld_y * e2x
+                a = e1x * hx_ + e1y * hy_ + e1z * hz_
+                fba = 1.0 / jnp.where(jnp.abs(a) < eps, 1.0, a)
+                sx_ = ox[None] - v0x
+                sy_ = oy[None] - v0y
+                sz_ = oz[None] - v0z
+                w1 = fba * (sx_ * hx_ + sy_ * hy_ + sz_ * hz_)
+                qx = sy_ * e1z - sz_ * e1y
+                qy = sz_ * e1x - sx_ * e1z
+                qz = sx_ * e1y - sy_ * e1x
+                w2 = fba * (ld_x * qx + ld_y * qy + ld_z * qz)
+                t = fba * (e2x * qx + e2y * qy + e2z * qz)
+                ok = ((jnp.abs(a) >= eps) & (w1 >= 0.0) & (w1 <= 1.0)
+                      & (w2 >= 0.0) & (w1 + w2 <= 1.0) & (t > eps)
+                      & (jnp.arange(lmax, dtype=jnp.int32)[:, None, None]
+                         < cnt[None, :, None])
+                      & is_tri[None, :, None])
+                if alpha_ref is not None:
+                    arow = wa.alpha_rows[
+                        jnp.clip(left, 0, n_leaf_rows - 1)].T
+
+                    def af(k, arow=arow):
+                        return jnp.stack([arow[8 * c + k]
+                                          for c in range(lmax)])[:, :, None]
+
+                    bz_c = 1.0 - w1 - w2
+                    u_c = af(2) * w1 + af(4) * w2 + af(0) * bz_c
+                    v_c = af(3) * w1 + af(5) * w2 + af(1) * bz_c
+                    toff_a = jnp.stack(
+                        [_bitcast_i32(arow[8 * c + 6])
+                         for c in range(lmax)])[:, :, None]
+                    twh_a = jnp.stack(
+                        [_bitcast_i32(arow[8 * c + 7])
+                         for c in range(lmax)])[:, :, None]
+                    tw_a = twh_a >> 16
+                    th_a = twh_a & 0xFFFF
+                    iu = jnp.floor(u_c * tw_a).astype(jnp.int32) % tw_a
+                    iv = jnp.floor(v_c * th_a).astype(jnp.int32) % th_a
+                    idx = toff_a + iu + iv * tw_a
+                    alpha = wa.alpha_pool[
+                        jnp.clip(idx, 0, wa.alpha_pool.shape[0] - 1)]
+                    ok = ok & ~(alpha < jnp.float32(alpha_ref))
+                t = jnp.where(ok, t, LARGE_FLOAT)
+                t_min = jnp.full((b, p), LARGE_FLOAT)
+                tid_sel = jnp.full((b, p), _INT_MAX)
+                w1_sel = jnp.zeros((b, p), jnp.float32)
+                w2_sel = jnp.zeros((b, p), jnp.float32)
+                for c in range(lmax):
+                    tc = t[c]
+                    tid_b = jnp.broadcast_to(tid[c][:, None], (b, p))
+                    better = (tc < t_min) | ((tc == t_min)
+                                             & (tc < LARGE_FLOAT)
+                                             & (tid_b < tid_sel))
+                    t_min = jnp.where(better, tc, t_min)
+                    tid_sel = jnp.where(better, tid_b, tid_sel)
+                    w1_sel = jnp.where(better, w1[c], w1_sel)
+                    w2_sel = jnp.where(better, w2[c], w2_sel)
+
+                if occlusion:
+                    occ_new = is_tri[:, None] & (t_min < best_t)
+                    best_t = jnp.where(occ_new, -LARGE_FLOAT, best_t)
+                else:
+                    closer = is_tri[:, None] & (t_min < best_t)
+                    tie = (is_tri[:, None] & (t_min == best_t)
+                           & (t_min < LARGE_FLOAT))
+                    tie_better = tie & (tid_sel < tri)
+                    upd = closer | tie_better
+                    if mixed:
+                        occ_new = (occ_pk & is_tri[:, None]
+                                   & (t_min < best_t))
+                        upd = upd & ~occ_pk
+                    best_t = jnp.where(upd, t_min, best_t)
+                    bx = jnp.where(upd, w1_sel, bx)
+                    by = jnp.where(upd, w2_sel, by)
+                    tri = jnp.where(upd, tid_sel, tri)
+                    if mixed:
+                        best_t = jnp.where(occ_new, -LARGE_FLOAT, best_t)
+
+                descend_f.append(descend)
+                next_f.append(jnp.where(descend, left + child_slot,
+                                        s["node"][f]))
+                want_pop_f.append(act & ~descend)
+
+            # ---- pops: sequential per front on the shared stack ----
+            nxt = list(next_f)
+            new_on = []
+            for f in range(F):
+                empty = scount == 0
+                do_pop = want_pop_f[f] & ~empty
+                top = st_top(stack)
+                if w_ == 4:
+                    c_top = (top >> 6) & 3
+                    slot = (top >> (2 * jnp.maximum(c_top - 1, 0))) & 3
+                    node_pop = (top >> 8) + slot
+                    partial = do_pop & (c_top > 1)
+                    s0 = jnp.where(partial, top - 64, top)
+                    stack = st_set_top(stack, s0)
+                    _, stack, scount = st_pop(stack, scount,
+                                              do_pop & (c_top <= 1))
+                else:
+                    c_top = top & 15
+                    slot = (st_top(stack2)
+                            >> (3 * jnp.maximum(c_top - 1, 0))) & 7
+                    node_pop = (top >> 4) + slot
+                    partial = do_pop & (c_top > 1)
+                    s0 = jnp.where(partial, top - 1, top)
+                    stack = st_set_top(stack, s0)
+                    full_pop = do_pop & (c_top <= 1)
+                    _, stack2, _ = st_pop(stack2, scount, full_pop)
+                    _, stack, scount = st_pop(stack, scount, full_pop)
+                nxt[f] = jnp.where(do_pop, node_pop, nxt[f])
+                new_on.append(descend_f[f] | do_pop)
+
+            any_on = new_on[0]
+            for f in range(1, F):
+                any_on = any_on | new_on[f]
+            done = s["done"] | (act & ~any_on)
+            if occlusion:
+                done = done | ~jnp.any(best_t > 0.0, axis=1)
+            elif mixed:
+                done = done | (s["is_occ"]
+                               & ~jnp.any(best_t > 0.0, axis=1))
+            if stats:
+                live = act.sum(dtype=jnp.int32)
+                s["packet_steps"] = s["packet_steps"] + live
+                s["ray_steps"] = s["ray_steps"] + jnp.sum(
+                    (ray_on & act[:, None]).sum(1, dtype=jnp.int32),
+                    dtype=jnp.float32)
+                s["int_steps"] = s["int_steps"] + int_ct
+                s["tri_steps"] = s["tri_steps"] + tri_ct
+            s.update(node=tuple(nxt), f_on=tuple(new_on),
+                     stack=stack, scount=scount,
+                     best_t=best_t, bx=bx, by=by, tri=tri,
+                     done=done, steps=s["steps"] + 1)
+            if w_ == 8:
+                s.update(stack2=stack2)
+            return [s[k] for k in keys]
+        step_fn = sub_step_mf if fronts > 1 else sub_step
+
         def body(sl):
             for _ in range(unroll):
-                sl = sub_step(sl)
+                sl = step_fn(sl)
             return sl
 
         return dict(zip(keys, jax.lax.while_loop(

@@ -93,6 +93,33 @@ class RTConfig:
                                 # 512x512 cornell; 16 best at 1080p
                                 # bunny d3 (4.33 vs 4.57 s) - the ladder
                                 # scale configs override to 16
+    bounce_fronts: int = 0      # stack nodes walked per packet per loop
+                                # iteration on incoherent (k>0) waves
+                                # (trace_packets fronts; flat builds
+                                # only).  The loop body is gather-
+                                # latency-bound at big trees, and two
+                                # independent node rows fetched in ONE
+                                # (F*B,)-row gather cost 1.42x one row,
+                                # not 2x (tools/exp_dualfront.py) — F
+                                # fronts drain the shared per-packet
+                                # stack F nodes at a time with bit-
+                                # identical hits.  0 = auto: env
+                                # VORTEX_RT_FRONTS (sweep harnesses)
+                                # or 1
+    slab: int = 0               # rays per streamed frame slab (frame_body
+                                # slab-major loop).  Sets the while-loop
+                                # GATHER BATCH: a slab of S lanes at
+                                # bounce_packet P runs S/P packets per
+                                # loop iteration, and the chained row
+                                # gather costs ~13 us FIXED per iteration
+                                # + ~2.5 ns/row (tools/exp_gather.py,
+                                # rule 33) — bigger slabs amortize the
+                                # fixed latency over more packets (B=4096
+                                # costs 1.55x B=1024 for 4x the rows).
+                                # Bounded by loop-state memory (~200 B/
+                                # lane).  0 = auto: env VORTEX_RT_SLAB
+                                # or 32768 (pending the rule-33 hardware
+                                # sweep at the 1080p scale configs)
     shadow_packet: Optional[int] = None  # packet size for shadow
                                 # occlusion waves; None follows each
                                 # bounce's wave packet (primary-size at
@@ -140,6 +167,16 @@ class RTConfig:
     mesh_axes: Tuple[str, ...] = ("tiles",)
 
     def __post_init__(self):
+        if self.bounce_fronts == 0:
+            import os
+            object.__setattr__(
+                self, "bounce_fronts",
+                max(int(os.environ.get("VORTEX_RT_FRONTS", "1")), 1))
+        if self.slab == 0:
+            import os
+            object.__setattr__(
+                self, "slab",
+                max(int(os.environ.get("VORTEX_RT_SLAB", "32768")), 1024))
         if self.bvh_width == 0:
             # auto: 8-wide needs the flattened build's packed leaf ids;
             # suspension/TLAS pipelines keep the 4-wide instance rows
