@@ -139,18 +139,34 @@ def main() -> None:
 
     mrays = total_rays / dt / 1e6
     # reproducibility: record every sweepable env knob that shaped this
-    # number (VERDICT r3 hygiene #9)
+    # number (VERDICT r3 hygiene #9) plus the RESOLVED auto knobs
+    # (advisor r4: artifacts must reproduce without the environment)
     knob_env = {k: v for k, v in os.environ.items()
                 if k.startswith("VORTEX_RT_")}
+    # scale context (VERDICT r4 weak #8): the toy headline alone
+    # misrepresents the build — carry the newest COMMITTED ladder rows
+    # (the north-star-shaped configs) next to it
+    scale = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LADDER.json")) as f:
+            for row in json.load(f):
+                if row.get("config") in (3, 4, 5) and "mrays" in row:
+                    scale[f"config{row['config']}_mrays"] = row["mrays"]
+    except (OSError, ValueError):
+        pass
     print(json.dumps({
         "metric": ("Mrays/s sustained (wavefront+packets, cornell+teapot, "
                    "512x512 spp2, 2-bounce + shadow rays, 16-frame bursts)"),
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+        "scale_ladder": scale,
         "knobs": dict(bvh_width=r.wa.width, max_leaf_tris=leaf,
                       fused_rows=r.wa.fused is not None,
-                      bounce_packet=cfg.bounce_packet, env=knob_env),
+                      bounce_packet=cfg.bounce_packet,
+                      slab=cfg.slab, bounce_fronts=cfg.bounce_fronts,
+                      env=knob_env),
     }))
 
 

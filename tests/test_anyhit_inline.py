@@ -150,6 +150,97 @@ def test_inline_alpha_occlusion_mode():
     assert (np.asarray(h_occ0.dist) == 0.0).sum() > occluded.sum()
 
 
+def _checker_pred(u, v, alpha):
+    """Non-alpha stateless any-hit: a procedural uv checkerboard cutout
+    (keep only even cells) that ALSO drops near-black surfaces — mixes
+    uv and alpha inputs so both predicate operands are exercised."""
+    cu = jnp.floor(u * 6.0).astype(jnp.int32)
+    cv = jnp.floor(v * 6.0).astype(jnp.int32)
+    return (((cu + cv) % 2) == 0) & (alpha >= 0.05)
+
+
+def test_stateless_predicate_matches_suspension_engine():
+    """trace_packets(anyhit_pred=...) with a NON-alpha predicate returns
+    the identical accepted-hit set as the per-ray suspension protocol
+    running the same decision through CONT/ACCEPT commits — the packet-
+    speed generalization of the reference's arbitrary any-hit shaders
+    (rt_unit.cpp:190-213, VERDICT r4 #6)."""
+    from vortex_rt_tpu.utils.config import COMMIT_ACCEPT
+
+    sb = _cutout_scene().build()
+    wa = WideArrays.from_scene(sb).with_alpha(sb)
+    sa = ShadeArrays.from_scene(sb)
+    _, (o, d) = _camera_rays()
+
+    hp, _ = trace_packets(wa, o, d, packet=64, anyhit_pred=_checker_pred)
+
+    # suspension loop with the identical decision
+    ox, oy, oz = (jnp.asarray(o[:, k]) for k in range(3))
+    dx, dy, dz = (jnp.asarray(d[:, k]) for k in range(3))
+
+    def cond(s):
+        return jnp.any(~s.done)
+
+    def body(s):
+        _, s, _ = trace_lanes(wa, ox, oy, oz, dx, dy, dz, state=s,
+                              suspend=True)
+        sp = shade_point(
+            sa, ox, oy, oz, dx, dy, dz,
+            s.pend_t, s.pend_bx, s.pend_by, 1.0 - s.pend_bx - s.pend_by,
+            jnp.clip(s.pend_tri, 0, sa.shade_rows.shape[0] - 1),
+            jnp.clip(s.pend_inst, 0, sa.inst_shade.shape[0] - 1))
+        alpha = (0.2126 * sp.color_r + 0.7152 * sp.color_g
+                 + 0.0722 * sp.color_b)
+        action = jnp.where(_checker_pred(sp.u, sp.v, alpha),
+                           jnp.int32(COMMIT_ACCEPT),
+                           jnp.int32(COMMIT_CONT)).astype(jnp.int32)
+        return commit(s, jnp.where(s.suspended, action, COMMIT_CONT))
+
+    st = init_state_lanes(ox, oy, oz, dx, dy, dz)
+    st = jax.lax.while_loop(cond, body, st)
+
+    np.testing.assert_array_equal(np.asarray(hp.dist),
+                                  np.asarray(st.best_t))
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(st.tri))
+    np.testing.assert_array_equal(np.asarray(hp.inst),
+                                  np.asarray(st.best_inst))
+    # the checker cutout must fire, and differently from the alpha test
+    hp0, _ = trace_packets(wa, o, d, packet=64)
+    hpa, _ = trace_packets(wa, o, d, packet=64, alpha_ref=THR)
+    assert (np.asarray(hp0.dist) != np.asarray(hp.dist)).sum() > 50
+    assert (np.asarray(hpa.dist) != np.asarray(hp.dist)).sum() > 50
+
+
+def test_wavefront_stateless_predicate_frame():
+    """Full wavefront frames with a stateless_anyhit table: the packet
+    in-loop path (auto-selected) renders the same image as the per-ray
+    suspension fallback (packet=0) running the same shader through the
+    commit protocol."""
+    from vortex_rt_tpu.engine.shaders import stateless_anyhit
+
+    sb = _cutout_scene().build()
+    cam, _ = _camera_rays()
+    p = RenderParams(light_pos=(0.5, 1.5, -1.0), max_depth=2, shadow=True)
+    w = h = 48
+
+    table = ShaderTable(anyhit=stateless_anyhit(_checker_pred, "checker"))
+    r_fast = WavefrontRenderer.from_buffers(sb, RTConfig(), table=table)
+    assert r_fast.wa.alpha_rows is not None  # tables auto-built
+    img_fast, rays_fast = r_fast.render(cam, p, w, h)
+
+    cfg_slow = RTConfig(packet_size=0, bounce_packet=0, lanes=512)
+    r_slow = WavefrontRenderer.from_buffers(sb, cfg_slow, table=table)
+    img_slow, rays_slow = r_slow.render(cam, p, w, h)
+
+    np.testing.assert_allclose(img_fast, img_slow, atol=2e-6)
+    assert rays_fast == rays_slow
+
+    # the predicate cutout changes the image vs the solid render
+    r_solid = WavefrontRenderer.from_buffers(sb, RTConfig())
+    img_solid, _ = r_solid.render(cam, p, w, h)
+    assert np.abs(img_fast - img_solid).max() > 0.05
+
+
 def test_wavefront_inline_alpha_matches_suspension_frame():
     """Full wavefront frames: the packet in-loop alpha path (default for
     alpha_test_anyhit tables) renders the same image as the per-ray

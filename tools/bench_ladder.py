@@ -76,10 +76,16 @@ def _knobs(cfg=None):
         max_leaf_tris=getattr(cfg, "max_leaf_tris", None),
         fused_rows=getattr(cfg, "fused_rows", None),
         bounce_packet=getattr(cfg, "bounce_packet", None),
+        # RESOLVED values (0=auto defers to env at construction, advisor
+        # r4: a recorded row must be reproducible from the artifact
+        # alone, without the environment)
+        slab=getattr(cfg, "slab", None),
+        bounce_fronts=getattr(cfg, "bounce_fronts", None),
         lbvh=os.environ.get("VORTEX_RT_LBVH", "ploc"),
     )
     for env in ("VORTEX_RT_FUSED_ROWS", "VORTEX_RT_LAX_SORT",
-                "VORTEX_RT_ARRAY_STACK", "VORTEX_RT_UNROLL"):
+                "VORTEX_RT_ARRAY_STACK", "VORTEX_RT_UNROLL",
+                "VORTEX_RT_SLAB", "VORTEX_RT_FRONTS"):
         if env in os.environ:
             k[env] = os.environ[env]
     return k

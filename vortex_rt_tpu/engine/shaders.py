@@ -206,6 +206,48 @@ def alpha_test_anyhit(threshold: float = 0.5):
     return shader
 
 
+def stateless_anyhit(pred: Callable, name: str = "stateless"):
+    """Arbitrary STATELESS any-hit shader at packet speed.
+
+    The reference runs any any-hit shader binary through per-ray
+    suspension (rt_unit.cpp:190-213 CONT/ACCEPT + shaders/anyhit.cpp
+    entry) — generality paid for with a per-ray engine.  Most real
+    any-hit shaders (alpha cutouts, procedural masks) are PURE
+    per-candidate predicates: accept/reject depends only on the
+    candidate intersection, not on mutable per-ray state.  For those,
+    ``pred(u, v, alpha) -> keep`` evaluates INSIDE the packet traversal
+    loop (trace_packets anyhit_pred):
+
+    * ``u, v``  — the candidate's interpolated texture coordinates
+      (uv1*bx + uv2*by + uv0*bz, closest.cpp:77 order);
+    * ``alpha`` — the luminance of the surface color shade_point would
+      compute there (point-sampled texel, or material diffuse when
+      untextured);
+    * return ``keep``: False = COMMIT_CONT (reject, traversal
+      continues past the surface), True = candidate enters the
+      closest-hit fold (COMMIT_ACCEPT when it wins).
+
+    ``pred`` must be jax-traceable and elementwise over its operands.
+    The returned shader ALSO implements the identical decision through
+    the per-ray suspension protocol, so non-packet pipelines (packet=0,
+    TLAS builds, rtu.py facade) and parity tests run the same cutout.
+    Truly stateful any-hit shaders (payload accumulation, ordered
+    transparency) write a plain ``ShaderTable.anyhit`` callable instead
+    and keep the suspension engine."""
+
+    def shader(ctx: ShaderContext, sp: ShadePoint, ray: RayLanes,
+               payload: PayloadLanes):
+        alpha = (0.2126 * sp.color_r + 0.7152 * sp.color_g
+                 + 0.0722 * sp.color_b)
+        keep = pred(sp.u, sp.v, alpha)
+        return jnp.where(keep, jnp.int32(COMMIT_ACCEPT),
+                         jnp.int32(0)).astype(jnp.int32)  # 0 = CONT
+
+    shader.inline_predicate = pred
+    shader.__name__ = f"stateless_anyhit_{name}"
+    return shader
+
+
 @dataclasses.dataclass(frozen=True)
 class ShaderTable:
     """The SBT.  ``anyhit=None`` keeps the engine on the auto-accept fast

@@ -220,6 +220,32 @@ def _inline_alpha(table: ShaderTable, wa: WideArrays) -> Optional[float]:
     return None
 
 
+def _inline_anyhit(table: ShaderTable, wa: WideArrays):
+    """In-loop-capable any-hit predicate ``pred(u, v, alpha) -> keep``,
+    else None.
+
+    Two shader markers qualify (both need the scene's with_alpha
+    tables): ``alpha_threshold`` (alpha_test_anyhit — the predicate is
+    the alpha compare) and ``inline_predicate`` (stateless_anyhit — an
+    arbitrary stateless per-candidate predicate).  Unmarked any-hit
+    callables return None and keep the per-ray suspension fallback
+    (they may be stateful; rt_unit.cpp:190-213 generality)."""
+    if wa.alpha_rows is None:
+        return None
+    pred = getattr(table.anyhit, "inline_predicate", None)
+    if pred is not None:
+        return pred
+    thr = getattr(table.anyhit, "alpha_threshold", None)
+    if thr is not None:
+        thr_f = jnp.float32(thr)
+
+        def pred(u, v, a, _t=thr_f):  # noqa: ARG001
+            return ~(a < _t)
+
+        return pred
+    return None
+
+
 def _trace_pool(wa: WideArrays, sa: ShadeArrays, ctx: ShaderContext,
                 table: ShaderTable, lanes, alive, payload, chunk: int,
                 t_clamp=None):
@@ -342,7 +368,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
     def _run(stage):
         return stage_limit is None or stage <= stage_limit
 
-    alpha_ref = _inline_alpha(table, wa)
+    ah_pred = _inline_anyhit(table, wa)
     # ---- pallas_waves routing (RTConfig.pallas_waves) ----
     # 'coherent' sends bounce-0 waves (primary trace + shadow-0
     # occlusion) through the Mosaic scalar-node-walk kernel
@@ -355,7 +381,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
         from vortex_rt_tpu.ops.pallas import packet_walk as _pw
 
         pallas_ok = (_pw.HAVE_PALLAS and trace_fn is None
-                     and alpha_ref is None and wa.width == 4
+                     and ah_pred is None and wa.width == 4
                      and wa.num_tlas + 1 > 0  # (flat + TLAS both ok)
                      and r % _pw.P == 0
                      and _pw.vmem_bytes(wa) <= _PALLAS_VMEM_BUDGET
@@ -441,7 +467,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                     interpret=_PALLAS_INTERPRET)
                 return h.dist, h.bx, h.by, h.tri, h.inst, st, None
             if (pk > 0 and r % pk == 0
-                    and (table.anyhit is None or alpha_ref is not None)):
+                    and (table.anyhit is None or ah_pred is not None)):
                 o3 = jnp.stack([tox, toy, toz], axis=1)
                 d3 = jnp.stack([tdx, tdy, tdz], axis=1)
                 tc = (jnp.full(r, LARGE_FLOAT) if t_clamp is None
@@ -460,7 +486,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                         h, st = trace_packets(
                             wa, go, gd, packet=pk, active=ga,
                             t_max=gt, occlusion=occl, max_steps=ms,
-                            alpha_ref=alpha_ref, fronts=fr)
+                            anyhit_pred=ah_pred, fronts=fr)
                         return (h.dist, h.bx, h.by, h.tri, h.inst, st)
 
                     outs = jax.lax.map(
@@ -474,7 +500,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                 h, st = trace_packets(wa, o3, d3, packet=pk,
                                       active=act, t_max=tc, occlusion=occl,
                                       max_steps=ms, stats=stats,
-                                      alpha_ref=alpha_ref, fronts=fr)
+                                      anyhit_pred=ah_pred, fronts=fr)
                 if stats:
                     return (h.dist, h.bx, h.by, h.tri, h.inst, st.steps,
                             st)
@@ -520,7 +546,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
         merge = (shadow and bounce + 1 < max_depth
                  and stage_limit is None and not collect_stats
                  and trace_fn is None and not pallas_ok
-                 and (table.anyhit is None or alpha_ref is not None)
+                 and (table.anyhit is None or ah_pred is not None)
                  and getattr(table, "lit_independent_spawn", True)
                  and bounce_packet > 0 and sh_pk == bounce_packet
                  and r % bounce_packet == 0
@@ -612,7 +638,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
             hm, m_steps = trace_packets(
                 wa, m_o, m_d, packet=bounce_packet, active=m_act,
                 t_max=m_tc, occl_split=r,
-                max_steps=400_000 + tune_nonce, alpha_ref=alpha_ref,
+                max_steps=400_000 + tune_nonce, anyhit_pred=ah_pred,
                 fronts=bounce_fronts)
             steps_total = steps_total + m_steps
             sh_dist = unp_s(hm.dist[:r])
@@ -724,7 +750,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 break
     tiled = (width % tile_w == 0 and n_pix % width == 0
              and rows % tile_h == 0 and off_aligned)
-    inline_ah = table.anyhit is None or _inline_alpha(table, wa) is not None
+    inline_ah = table.anyhit is None or _inline_anyhit(table, wa) is not None
     slab_major = (packet > 0 and inline_ah and pix_perm is None
                   and 0 < slab < n_pix)
 
@@ -1021,7 +1047,9 @@ def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
-                          "n_frames", "tune_nonce", "stage_limit"))
+                          "n_frames", "tune_nonce", "stage_limit",
+                          "bounce_packet", "shadow_packet",
+                          "bounce_fronts", "slab"))
 def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                          light: LightArrays, width: int, height: int,
                          n_frames: int = 8, seed0=0,
@@ -1029,12 +1057,16 @@ def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                          table: ShaderTable = None,
                          packet: int = 128, shadow: bool = False,
                          tile_w: int = 16, tile_h: int = 16,
-                         tune_nonce: int = 0, stage_limit: int = 0):
+                         tune_nonce: int = 0, stage_limit: int = 0,
+                         bounce_packet=None, shadow_packet=None,
+                         bounce_fronts: int = 1, slab: int = 32768):
     """Stage-truncated burst for wall-clock attribution: same scalar-only
     shape as render_burst but the frame stops after ``stage_limit`` (0 =
     camera only; 1+3k / 2+3k / 3+3k = bounce-k trace / shadow / shade).
     Timing consecutive limits yields the per-wave ms breakdown that
-    round 2 derived by hand (ARCHITECTURE.md frame budget)."""
+    round 2 derived by hand (ARCHITECTURE.md frame budget).  Threads the
+    same packet/fronts/slab knobs as render_burst so stage attribution
+    measures the CONFIGURED frame, not the defaults."""
 
     def body(seed):
         img, rays, steps = frame_body(
@@ -1042,7 +1074,9 @@ def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             max_depth=max_depth, spp=spp, chunk=chunk, table=table,
             seed=seed, packet=packet, shadow=shadow,
             tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce,
-            stage_limit=stage_limit)
+            stage_limit=stage_limit, bounce_packet=bounce_packet,
+            shadow_packet=shadow_packet, bounce_fronts=bounce_fronts,
+            slab=slab)
         return img.sum(), rays, steps
 
     seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
@@ -1229,9 +1263,12 @@ class WavefrontRenderer:
             # ARCHITECTURE.md rule 29; see WideArrays.fuse)
             wa = wa.fuse()
         table = table or ShaderTable()
-        if getattr(table.anyhit, "alpha_threshold", None) is not None:
-            # declarative alpha-test any-hit: build the in-loop tables so
-            # the packet/slab frame path handles it (engine._inline_alpha)
+        if (getattr(table.anyhit, "alpha_threshold", None) is not None
+                or getattr(table.anyhit, "inline_predicate", None)
+                is not None):
+            # declarative stateless any-hit (alpha test or custom
+            # predicate): build the in-loop tables so the packet/slab
+            # frame path handles it (engine._inline_anyhit)
             wa = wa.with_alpha(sb_host)
         return WavefrontRenderer(
             sb=jax.tree.map(jnp.asarray, sb_host),
@@ -1399,7 +1436,11 @@ class WavefrontRenderer:
                 packet=self.config.packet_size, shadow=params.shadow,
                 tile_w=self.config.tile_w, tile_h=self.config.tile_h,
                 tune_nonce=self._dev_cache.get("nonce", 0),
-                stage_limit=limit))
+                stage_limit=limit,
+                bounce_packet=self.config.bounce_packet,
+                shadow_packet=self.config.shadow_packet,
+                bounce_fronts=self.config.bounce_fronts,
+                slab=self.config.slab))
 
         stage_ids = []
         for lab in labels:

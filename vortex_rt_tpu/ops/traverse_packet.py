@@ -177,6 +177,7 @@ def trace_packets(
     array_stack: Optional[bool] = None,
     unroll: Optional[int] = None,
     alpha_ref: Optional[float] = None,
+    anyhit_pred=None,
     fronts: int = 1,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
@@ -214,6 +215,21 @@ def trace_packets(
     per-candidate predicate, so evaluating it inside the loop visits
     the identical accepted-hit set as the per-ray suspension engine.
 
+    ``anyhit_pred`` generalizes alpha_ref to ANY stateless per-candidate
+    predicate: a traced callable ``pred(u, v, alpha) -> keep`` over the
+    candidate's interpolated uv and surface alpha (the luminance
+    shade_point would compute there — point-sampled texel or material
+    diffuse), applied to every Moller-Trumbore candidate before the
+    closest-hit fold.  keep=False is COMMIT_CONT, keep=True lets the
+    candidate into the fold (ACCEPT when it wins).  This is the packet-
+    speed analog of the reference's arbitrary any-hit shader binaries
+    (shaders/anyhit.cpp entry + rt_unit.cpp:190-213 CONT/ACCEPT) for
+    the stateless subset; shaders that mutate per-ray payload state
+    still need the per-ray suspension engine.  Requires
+    ``wa.with_alpha`` tables (they carry uv + the alpha texel pool).
+    When both are given, anyhit_pred wins; alpha_ref is exactly
+    ``anyhit_pred=lambda u, v, a: ~(a < alpha_ref)``.
+
     ``fronts=F`` (flat builds only) walks F stack nodes per packet per
     iteration: ONE (F*B,)-row gather + F-axis-batched slab/MT tests
     halve(+) the iteration count of incoherent waves whose per-iteration
@@ -224,9 +240,20 @@ def trace_packets(
     are bit-identical (each ray's result is a min-fold over its own
     intersecting candidates with the exact lexicographic tie-break —
     visit ORDER changes, the candidate winner cannot; same argument as
-    packet-size/compaction bit-compatibility).  Falls back to 1 front
-    on TLAS builds (per-front local-space lanes would re-inflate the
-    loop state flattening removed)."""
+    packet-size/compaction bit-compatibility).  Exact-tie caveat (this
+    applies to the packet-size/compaction identity argument too): node
+    pruning uses strict tmin < best_t, so if a box's dequantized entry
+    tmin EXACTLY equals a ray's current best t, a leaf holding an
+    equal-t lower-id triangle could be pruned under one visit order and
+    visited under another, flipping the lexicographic tie winner.  The
+    quantized child bounds are dequantized OUTWARD (lo floor / hi ceil
+    at build), so a triangle lying exactly on its leaf's entry plane
+    with t == tmin requires an exact-float coincidence across two
+    different computations (slab arithmetic vs Moller-Trumbore) —
+    never observed; tests/test_fronts.py pins bit-identity on every
+    shipped mode.  Falls back to 1 front on TLAS builds (per-front
+    local-space lanes would re-inflate the loop state flattening
+    removed)."""
     r = o.shape[0]
     p = int(packet)
     assert r % p == 0, "ray count must be a multiple of the packet size"
@@ -251,8 +278,13 @@ def trace_packets(
     unroll = max(int(unroll), 1)
     flat = wa.num_tlas == 0 and wa.tri_bits > 0
     fronts = max(int(fronts), 1) if flat else 1
-    assert alpha_ref is None or wa.alpha_rows is not None, \
-        "alpha_ref requires WideArrays.with_alpha tables"
+    if anyhit_pred is None and alpha_ref is not None:
+        _ar = jnp.float32(alpha_ref)
+
+        def anyhit_pred(u, v, a, _ar=_ar):  # noqa: ARG001
+            return ~(a < _ar)
+    assert anyhit_pred is None or wa.alpha_rows is not None, \
+        "anyhit_pred/alpha_ref require WideArrays.with_alpha tables"
     n_pool = int(wa.nodes.shape[0])
     w_ = int(wa.width)
     assert w_ == 4 or flat, "8-wide packets require the flattened build"
@@ -570,14 +602,15 @@ def trace_packets(
                   & (jnp.arange(lmax, dtype=jnp.int32)[:, None, None]
                      < cnt[None, :, None])
                   & is_tri[None, :, None])
-            if alpha_ref is not None:
-                # ---- in-loop alpha-test any-hit (COMMIT_CONT analog):
-                # reject candidates whose surface alpha < alpha_ref.
-                # One (8L, B) row gather (same index as the leaf row) +
-                # one alpha-pool gather; uv interpolation and the
-                # point-sample texel address reproduce shade_point's op
-                # order exactly, so acceptance decisions match the
-                # suspension engine bit-for-bit.
+            if anyhit_pred is not None:
+                # ---- in-loop stateless any-hit (COMMIT_CONT analog):
+                # reject candidates the predicate declines (alpha test,
+                # uv cutouts, ...).  One (8L, B) row gather (same index
+                # as the leaf row) + one alpha-pool gather; uv
+                # interpolation and the point-sample texel address
+                # reproduce shade_point's op order exactly, so
+                # acceptance decisions match the suspension engine
+                # bit-for-bit.
                 arow = wa.alpha_rows[
                     jnp.clip(left, 0, n_leaf_rows - 1)].T       # (8L, B)
 
@@ -602,7 +635,7 @@ def trace_packets(
                 idx = toff_a + iu + iv * tw_a
                 alpha = wa.alpha_pool[
                     jnp.clip(idx, 0, wa.alpha_pool.shape[0] - 1)]
-                ok = ok & ~(alpha < jnp.float32(alpha_ref))
+                ok = ok & anyhit_pred(u_c, v_c, alpha)
             t = jnp.where(ok, t, LARGE_FLOAT)                # (L, B, P)
             t_min = jnp.full((b, p), LARGE_FLOAT)
             tid_sel = jnp.full((b, p), _INT_MAX)
@@ -894,7 +927,7 @@ def trace_packets(
                       & (jnp.arange(lmax, dtype=jnp.int32)[:, None, None]
                          < cnt[None, :, None])
                       & is_tri[None, :, None])
-                if alpha_ref is not None:
+                if anyhit_pred is not None:
                     arow = wa.alpha_rows[
                         jnp.clip(left, 0, n_leaf_rows - 1)].T
 
@@ -918,7 +951,7 @@ def trace_packets(
                     idx = toff_a + iu + iv * tw_a
                     alpha = wa.alpha_pool[
                         jnp.clip(idx, 0, wa.alpha_pool.shape[0] - 1)]
-                    ok = ok & ~(alpha < jnp.float32(alpha_ref))
+                    ok = ok & anyhit_pred(u_c, v_c, alpha)
                 t = jnp.where(ok, t, LARGE_FLOAT)
                 t_min = jnp.full((b, p), LARGE_FLOAT)
                 tid_sel = jnp.full((b, p), _INT_MAX)
@@ -1000,11 +1033,16 @@ def trace_packets(
                 done = done | (s["is_occ"]
                                & ~jnp.any(best_t > 0.0, axis=1))
             if stats:
+                # packet_steps counts live packets x fronts: each live
+                # packet's iteration gathers F node rows, so this is the
+                # row-gather count — directly comparable across fronts
+                # settings (render_stats rays_per_live_packet and
+                # tools/exp_bp.py row arithmetic stay consistent)
                 live = act.sum(dtype=jnp.int32)
-                s["packet_steps"] = s["packet_steps"] + live
-                s["ray_steps"] = s["ray_steps"] + jnp.sum(
-                    (ray_on & act[:, None]).sum(1, dtype=jnp.int32),
-                    dtype=jnp.float32)
+                s["packet_steps"] = s["packet_steps"] + live * fronts
+                s["ray_steps"] = s["ray_steps"] + jnp.float32(fronts) * (
+                    jnp.sum((ray_on & act[:, None]).sum(1, dtype=jnp.int32),
+                            dtype=jnp.float32))
                 s["int_steps"] = s["int_steps"] + int_ct
                 s["tri_steps"] = s["tri_steps"] + tri_ct
             s.update(node=tuple(nxt), f_on=tuple(new_on),

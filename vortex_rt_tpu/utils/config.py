@@ -89,10 +89,11 @@ class RTConfig:
                                 # and a packet walks its rays' UNION path,
                                 # so bounce waves want tighter packets
                                 # (0 = per-ray engine for bounce waves).
-                                # Post-compaction sweeps: 32 best at
-                                # 512x512 cornell; 16 best at 1080p
-                                # bunny d3 (4.33 vs 4.57 s) - the ladder
-                                # scale configs override to 16
+                                # 32 is the adopted optimum everywhere:
+                                # the round-4 8-wide+fused sweep measured
+                                # bp=32 1.5x faster than 16 at 1080p
+                                # (1.36 vs 2.12 s/pass — rule 30); the
+                                # ladder scale configs use this default
     bounce_fronts: int = 0      # stack nodes walked per packet per loop
                                 # iteration on incoherent (k>0) waves
                                 # (trace_packets fronts; flat builds
