@@ -156,3 +156,104 @@ def test_sharded_sponza_class_scale_and_memory():
     # (padding + per-shard TLAS overhead keep it above the ideal 1/4)
     assert tbl["ratio"] < 0.5, tbl
     assert tbl["sharded_per_chip_bytes"] * 4 > tbl["replicated_bytes"] * 0.8
+
+
+def _separated_scene():
+    """8 spatially separated spheres: most rays' TLAS candidate sets
+    touch 0-2 instances, so candidate routing has something to cut.
+    (The cornell scene is adversarial for routing: its wall AABBs span
+    the whole view, making every ray a candidate on every shard.)"""
+    sc = Scene()
+    si = sc.add_mesh(uv_sphere((0.0, 0.0, 0.0), 0.45, 8, 12))
+    from vortex_rt_tpu.utils import vecmath as vm
+
+    for i in range(8):
+        sc.add_instance(si, vm.mat4_translate(
+            [(i % 4) * 1.4 - 2.1, (i // 4) * 1.4 - 0.7, 0.0]),
+            reflectivity=0.2 if i % 3 == 0 else 0.0)
+    return sc
+
+
+def test_alltoall_schedule_parity_and_compute_accounting():
+    """The candidate-routed all_to_all schedule (docs/SCENE_SHARDING.md
+    steps 1-6, VERDICT r4 #7): image parity with BOTH the replicate-rays
+    schedule and the single chip, plus the accounting the schedule
+    exists for — mesh-summed traversal compute (live-ray loop
+    residency) must NOT scale with sp.  Replicate-rays traces every ray
+    on every shard; the routed schedule traces each ray only on the
+    shards its TLAS candidates touch."""
+    from jax.sharding import Mesh
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.parallel.shards import render_sharded
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    sc = _separated_scene()
+    sb = sc.build()
+    cam = Scene.framing_camera(sb, 45.0, 4 / 3)
+    params = RenderParams(max_depth=2, spp=1, shadow=True,
+                          light_pos=(0, 0.8, -0.5))
+    w, h = 64, 48
+
+    r = WavefrontRenderer.from_buffers(sb, RTConfig(lanes=1024))
+    ref, _ = r.render(cam, params, w, h)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    img_a, total_a, steps_a = render_sharded(
+        sc, cam, params, w, h, n_shards=4, mesh=mesh,
+        schedule="alltoall", return_steps=True, accounting=True)
+    img_r, total_r, steps_r = render_sharded(
+        sc, cam, params, w, h, n_shards=4, mesh=mesh,
+        schedule="replicate", return_steps=True, accounting=True)
+
+    err_a = float(np.sqrt(((img_a - ref) ** 2).mean()))
+    err_r = float(np.sqrt(((img_r - ref) ** 2).mean()))
+    assert err_a < 1e-5, f"alltoall vs single-chip rmse {err_a}"
+    assert err_r < 1e-5
+    assert total_a == total_r
+
+    # the accounting gate (live-ray loop residency, packet-size
+    # invariant): replicate traces every ray on every shard; the routed
+    # schedule spends lane-iterations only on the owners a ray's
+    # candidates touch (~1.3 of 4 here).  The measured cut is ~0.7x,
+    # NOT the naive 1.3/4: replicate's non-candidate visits die at the
+    # shard TLAS root in a few iterations (cheap), and routing
+    # fragments packets (live-compacted packets span wider pixel
+    # footprints -> fatter walk unions).  The margin grows with sp and
+    # with per-shard tree depth; this gates that the cut exists and
+    # never regresses into a multiply.
+    assert steps_a < 0.8 * steps_r, (
+        f"routed schedule did not cut traversal compute: "
+        f"alltoall={steps_a} replicate={steps_r}")
+
+
+def test_alltoall_schedule_pathtrace_parity():
+    """Stochastic path-traced frames through the routed schedule: bounce
+    rays re-route to their own candidate owners per wave; the image must
+    match the single chip bit-tight."""
+    from jax.sharding import Mesh
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.parallel.shards import render_sharded
+    from vortex_rt_tpu.utils.config import RTConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    sc = _scene()
+    sb = sc.build()
+    cam = Scene.framing_camera(sb, 45.0, 4 / 3)
+    params = RenderParams(max_depth=3, spp=2, shadow=True, pathtrace=True,
+                          light_pos=(0, 0.8, -0.5))
+    w, h = 64, 48
+
+    r = WavefrontRenderer.from_buffers(sb, RTConfig(lanes=1024))
+    ref, _ = r.render(cam, params, w, h)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    img, total = render_sharded(sc, cam, params, w, h, n_shards=4,
+                                mesh=mesh, schedule="alltoall")
+    assert total > w * h * params.spp
+    err = float(np.sqrt(((img - ref) ** 2).mean()))
+    assert err < 1e-5, f"alltoall pathtrace vs single-chip rmse {err}"

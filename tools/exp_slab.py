@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--slabs", default="32768,131072,262144,524288")
     ap.add_argument("--bps", default="32")
     ap.add_argument("--fronts", default="2")
+    ap.add_argument("--tiles", default="16",
+                    help="tile_w=tile_h values; bounce packets sample "
+                         "whole tiles, so smaller tiles tighten bounce-"
+                         "origin locality per packet")
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--reps", type=int, default=2)
@@ -58,10 +62,12 @@ def main():
 
     rows = []
     for slab in [int(x) for x in a.slabs.split(",")]:
-        for bp in [int(x) for x in a.bps.split(",")]:
-            for fr in [int(x) for x in a.fronts.split(",")]:
+      for bp in [int(x) for x in a.bps.split(",")]:
+        for fr in [int(x) for x in a.fronts.split(",")]:
+            for tl in [int(x) for x in a.tiles.split(",")]:
                 cfg = base.replace(slab=slab, bounce_packet=bp,
-                                   bounce_fronts=fr)
+                                   bounce_fronts=fr, tile_w=tl,
+                                   tile_h=tl)
                 r = WavefrontRenderer.from_buffers(sb, config=cfg)
                 np.asarray(r.wa.nodes[:1])  # force sync mode (rule 31)
                 t0 = time.perf_counter()
@@ -74,7 +80,7 @@ def main():
                     total += r.render_burst(cam, p, w, h, n_frames=1,
                                             seed0=200 + i, rays_only=True)
                 dt = time.perf_counter() - t0
-                rec = dict(slab=slab, bp=bp, fronts=fr,
+                rec = dict(slab=slab, bp=bp, fronts=fr, tile=tl,
                            B=slab // bp,
                            s_per_frame=round(dt / a.reps, 3),
                            mrays=round(total / dt / 1e6, 2),

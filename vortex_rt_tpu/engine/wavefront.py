@@ -230,7 +230,8 @@ def _inline_anyhit(table: ShaderTable, wa: WideArrays):
     arbitrary stateless per-candidate predicate).  Unmarked any-hit
     callables return None and keep the per-ray suspension fallback
     (they may be stateful; rt_unit.cpp:190-213 generality)."""
-    if wa.alpha_rows is None:
+    if getattr(wa, "alpha_rows", None) is None:
+        # no tables (or a ShardedArrays stack, which has none)
         return None
     pred = getattr(table.anyhit, "inline_predicate", None)
     if pred is not None:

@@ -8,18 +8,23 @@ sharding over a 2-D ``(dp, sp)`` device mesh.  Each chip holds
   plus those instances' BLAS subtrees and packed leaf rows — the memory
   that dominates scene cost (nodes + tri_rows; the design doc's table).
 
-Schedule: rays are replicated across ``sp`` (each sp peer generates the
-same row-block rays arithmetically — zero communication), every peer
-traces its local sub-scene with the unmodified packet engine, and the
-per-ray closest hits are combined with a lexicographic (t, inst, tri)
-min over the ``sp`` axis — 3 ``pmin`` + 4 ``psum`` ICI collectives of
-slab-sized lanes per wave.  Occlusion (shadow) waves combine with a
-single ``pmin``.  This replaces the design doc's candidate-binned
-``all_to_all`` schedule: dense replicate-rays/min-combine needs no
-fixed-capacity bins or overflow loops, touches the packet engine not at
-all, and moves 24 B/ray/wave — the all_to_all plan stays documented as
-the upgrade path for sp counts where ray replication's compute
-(every ray visits every shard) stops amortizing.
+TWO sp-axis schedules ship (``make_sharded_wavefront(schedule=...)``):
+
+* ``"replicate"`` (default): rays are replicated across ``sp`` (each sp
+  peer generates the same row-block rays arithmetically — zero
+  communication), every peer traces its local sub-scene with the
+  unmodified packet engine, and the per-ray closest hits are combined
+  with a lexicographic (t, inst, tri) min over the ``sp`` axis — 3
+  ``pmin`` + 4 ``psum`` ICI collectives of slab-sized lanes per wave.
+  Occlusion (shadow) waves combine with a single ``pmin``.
+* ``"alltoall"``: the design doc's candidate-routed ray-exchange
+  schedule (docs/SCENE_SHARDING.md steps 1-6) — each ray visits only
+  the shards its TLAS candidates touch, near-to-far, exchanged with
+  real ``lax.all_to_all`` collectives and pruned by best_t between
+  waves.  Measured (the doc's accounting section): ~0.66-0.75x the
+  replicate schedule's live-ray loop residency at sp=4; the margin
+  grows with sp and per-shard tree depth, so this is the >HBM/many-sp
+  schedule while replicate stays the ICI-minimal default.
 
 Correctness: instances are partitioned (each owned by exactly one
 shard), so a hit (t, inst, tri) exists on exactly one peer and the
@@ -105,6 +110,11 @@ class ShardedArrays:
     nodes: jnp.ndarray      # (S, Nmax, 32) u32
     tri_rows: jnp.ndarray   # (S, Lmax, 16*lmax) f32
     inst_map: jnp.ndarray   # (S, Imax) i32 local->global instance id
+    # replicated TLAS-candidate routing tables (the all_to_all schedule,
+    # docs/SCENE_SHARDING.md steps 1-2): world AABB + owner shard per
+    # GLOBAL instance
+    inst_aabb: jnp.ndarray  # (I, 6) f32 world lo.xyz, hi.xyz
+    inst_owner: jnp.ndarray  # (I,) i32 owner shard id
     num_tlas: int = dataclasses.field(metadata=dict(static=True))
     max_leaf_tris: int = dataclasses.field(metadata=dict(static=True))
     depth: int = dataclasses.field(metadata=dict(static=True))
@@ -116,6 +126,15 @@ class ShardedArrays:
             nodes=squeeze(self.nodes), tri_rows=squeeze(self.tri_rows),
             num_tlas=self.num_tlas, max_leaf_tris=self.max_leaf_tris,
             depth=self.depth), squeeze(self.inst_map)
+
+    def specs(self, sp_axis: str = "sp") -> "ShardedArrays":
+        """shard_map in_specs tree: pools shard over sp, the routing
+        tables (inst_aabb/inst_owner) replicate."""
+        return ShardedArrays(
+            nodes=P(sp_axis), tri_rows=P(sp_axis), inst_map=P(sp_axis),
+            inst_aabb=P(), inst_owner=P(),
+            num_tlas=self.num_tlas, max_leaf_tris=self.max_leaf_tris,
+            depth=self.depth)
 
     def bytes_per_shard(self) -> int:
         """Per-chip resident scene bytes under P(sp) sharding: each chip
@@ -157,6 +176,24 @@ def build_sharded(scene: Scene, n_shards: int,
     shards = bin_pack_instances(scene, n_shards)
     sb_full = scene.build(config)
 
+    # replicated routing tables: world AABB (8 transformed mesh-AABB
+    # corners, bvh.cpp:291-314) + owner shard per global instance
+    n_inst_g = len(scene._instances)
+    inst_aabb = np.zeros((n_inst_g, 6), np.float32)
+    inst_owner = np.zeros(n_inst_g, np.int32)
+    for s, owned in enumerate(shards):
+        for gi in owned:
+            inst_owner[gi] = s
+    for gi, (mi, tf, _) in enumerate(scene._instances):
+        lo, hi = scene._meshes[mi].aabb()
+        corners = np.array([[x, y, z, 1.0]
+                            for x in (lo[0], hi[0])
+                            for y in (lo[1], hi[1])
+                            for z in (lo[2], hi[2])], np.float32)
+        wc = corners @ np.asarray(tf, np.float32).T
+        inst_aabb[gi, :3] = wc[:, :3].min(0)
+        inst_aabb[gi, 3:] = wc[:, :3].max(0)
+
     nodes_l, rows_l, imap_l = [], [], []
     num_tlas, max_leaf, depth = 0, 1, 0
     was = []
@@ -197,6 +234,8 @@ def build_sharded(scene: Scene, n_shards: int,
         nodes=jnp.asarray(stack_pad(nodes_l)),
         tri_rows=jnp.asarray(stack_pad(rows_l)),
         inst_map=jnp.asarray(stack_pad(imap_l)),
+        inst_aabb=jnp.asarray(inst_aabb),
+        inst_owner=jnp.asarray(inst_owner),
         num_tlas=num_tlas, max_leaf_tris=max_leaf, depth=depth,
     ), sb_full
 
@@ -206,16 +245,51 @@ def make_sharded_wavefront(mesh: Mesh, width: int, height: int,
                            chunk: int = 512, shadow: bool = False,
                            pathtrace: bool = False, packet: int = 128,
                            tile_w: int = 16, tile_h: int = 8,
-                           dp_axis: str = "dp", sp_axis: str = "sp"):
+                           dp_axis: str = "dp", sp_axis: str = "sp",
+                           schedule: str = "replicate",
+                           accounting: bool = False):
     """Step 2 (design doc): the jitted SPMD step over the (dp, sp) mesh.
 
-    step(sharded, sa, cam, light) -> ((H, W, 3) image, total rays)."""
+    step(sharded, sa, cam, light) -> ((H, W, 3) image, total rays,
+    total traversal steps).
+
+    ``schedule`` selects the sp-axis traversal schedule:
+
+    * ``"replicate"`` (default) — replicate-rays: every sp peer traces
+      every ray against its local shard; one lexicographic pmin/psum
+      combine per wave.  ICI-minimal, traversal compute x sp.
+    * ``"alltoall"`` — the candidate-routed ray-exchange schedule
+      (docs/SCENE_SHARDING.md steps 1-6): each ray's TLAS candidates
+      (dense ray-vs-instance-AABB slab tests against the replicated
+      instance table) are grouped by owner shard and visited
+      near-to-far; instance wave k sends each ray to its k-th candidate
+      owner with ONE ``lax.all_to_all``, the owner traces the rays it
+      received against its local shard (unmodified packet engine), a
+      reverse ``all_to_all`` returns (t, bary, global ids), and the
+      per-ray lexicographic min over waves updates best_t — which
+      PRUNES later waves (a ray whose best hit is closer than its next
+      owner's nearest candidate-box entry drops out, the same early-out
+      the single-chip ordered TLAS descent gets).  Traversal compute no
+      longer scales with sp: summed across the mesh, each ray is traced
+      only on the shards its candidates actually touch (the accounting
+      test gates sum-of-steps vs the replicate schedule's x sp).
+
+    ``accounting=True`` switches the returned step count from loop
+    iterations to PacketStats.ray_steps — live rays per loop iteration,
+    summed.  That is the compute figure the two schedules are honestly
+    compared on: loop ITERATION counts charge a mostly-dead wave the
+    same as a full one, and live PACKET counts quantize harshly at
+    small test scales (a 10-ray wave still walks one whole packet);
+    live-ray residency is packet-size-invariant and proportional to
+    the lane-iterations the mesh actually spends."""
     from vortex_rt_tpu.engine.shaders import ShaderTable, pathtrace_closest
     from vortex_rt_tpu.engine.wavefront import frame_body
     from vortex_rt_tpu.ops.traverse_packet import trace_packets
 
     n_dp = mesh.shape[dp_axis]
+    n_sp = mesh.shape[sp_axis]
     assert height % n_dp == 0, f"height {height} % {n_dp} devices != 0"
+    assert schedule in ("replicate", "alltoall")
     rows_local = height // n_dp
     n_pix_local = rows_local * width
     table = (ShaderTable(closest=pathtrace_closest) if pathtrace
@@ -225,13 +299,16 @@ def make_sharded_wavefront(mesh: Mesh, width: int, height: int,
         wa_local, inst_map = sharded.local(lambda a: a[0])
         n_inst = inst_map.shape[0]
 
-        def trace_fn(ox, oy, oz, dx, dy, dz, act, t_clamp, occl):
+        def trace_replicate(ox, oy, oz, dx, dy, dz, act, t_clamp, occl):
             r = ox.shape[0]
             o3 = jnp.stack([ox, oy, oz], axis=1)
             d3 = jnp.stack([dx, dy, dz], axis=1)
             tc = jnp.full(r, LARGE_FLOAT) if t_clamp is None else t_clamp
             h, st = trace_packets(wa_local, o3, d3, packet=packet,
-                                  active=act, t_max=tc, occlusion=occl)
+                                  active=act, t_max=tc, occlusion=occl,
+                                  stats=accounting)
+            if accounting:
+                st = st.ray_steps.astype(jnp.int32)
             steps = jax.lax.psum(st, sp_axis)
             if occl:
                 # occluded lanes report 0.0 < t_max; any shard occludes
@@ -256,6 +333,186 @@ def make_sharded_wavefront(mesh: Mesh, width: int, height: int,
                     jnp.where(is_hit, trimin, 0),
                     jnp.where(is_hit, imin, 0), steps)
 
+        def trace_alltoall(ox, oy, oz, dx, dy, dz, act, t_clamp, occl):
+            r = ox.shape[0]
+            S = n_sp
+            tc = jnp.full(r, LARGE_FLOAT) if t_clamp is None else t_clamp
+
+            # ---- step 1: TLAS-candidate owner ranking (replicated
+            # instance AABBs; dense (I, R) slab tests — I is small) ----
+            lo = sharded.inst_aabb[:, :3]
+            hi = sharded.inst_aabb[:, 3:]
+
+            def rcp(v):
+                return 1.0 / jnp.where(jnp.abs(v) < 1e-20,
+                                       jnp.where(v < 0, -1e-20, 1e-20), v)
+
+            ivx, ivy, ivz = rcp(dx), rcp(dy), rcp(dz)
+            t1x = (lo[:, 0:1] - ox[None]) * ivx[None]
+            t2x = (hi[:, 0:1] - ox[None]) * ivx[None]
+            t1y = (lo[:, 1:2] - oy[None]) * ivy[None]
+            t2y = (hi[:, 1:2] - oy[None]) * ivy[None]
+            t1z = (lo[:, 2:3] - oz[None]) * ivz[None]
+            t2z = (hi[:, 2:3] - oz[None]) * ivz[None]
+            tmin_i = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z))
+            tmax_i = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z))
+            cand = ((tmax_i >= tmin_i) & (tmax_i > 0.0)
+                    & (tmin_i < tc[None]) & act[None])       # (I, R)
+            enter = jnp.where(cand, jnp.maximum(tmin_i, 0.0),
+                              LARGE_FLOAT)
+            # nearest candidate entry per OWNER shard (S, R)
+            d_owner = jnp.stack([
+                jnp.min(jnp.where((sharded.inst_owner == s)[:, None],
+                                  enter, LARGE_FLOAT), axis=0)
+                for s in range(S)])
+            # near-to-far owner visit order per ray
+            d_sorted, owner_sorted = jax.lax.sort(
+                (d_owner,
+                 jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None],
+                                  (S, r))),
+                dimension=0, is_stable=True, num_keys=1)
+
+            best_t = jnp.full(r, LARGE_FLOAT)
+            best_i = jnp.full(r, _I32MAX)
+            best_tri = jnp.full(r, _I32MAX)
+            best_bx = jnp.zeros(r)
+            best_by = jnp.zeros(r)
+            occluded = jnp.zeros(r, bool)
+            steps = jnp.int32(0)
+            s_ids = jnp.arange(S, dtype=jnp.int32)[:, None]
+
+            # ---- home slicing: rays are replicated across the sp
+            # peers (regenerated arithmetically), so each peer must
+            # route only a DISJOINT 1/S home slice — otherwise every
+            # owner receives each ray S times and traces it S times
+            # (measured: exactly the x2-3 packet-step inflation the
+            # accounting test caught).  Homes are CONTIGUOUS lane
+            # blocks, not lane % S interleaves: packets form over
+            # consecutive live lanes after the receive-side compaction,
+            # and interleaved homes put every 4th pixel in a packet —
+            # ~4x the screen area per packet union (measured 1.2-1.3x
+            # total residency, worse than replicate).  The final psum
+            # below broadcasts each home's results to the other peers
+            # (they shade identically, as in the replicate schedule).
+            me = jax.lax.axis_index(sp_axis)
+            lane = jnp.arange(r, dtype=jnp.int32)
+            home = (lane * S) // r == me
+
+            for k in range(S):
+                dest = owner_sorted[k]                        # (R,)
+                want = act & home & (d_sorted[k] < LARGE_FLOAT)
+                # step 4's prune: a settled closest hit (or occlusion)
+                # before this owner's nearest candidate box kills the
+                # visit
+                want = want & (d_sorted[k] < best_t) & ~occluded
+
+                # ---- step 2: bin by owner + ONE all_to_all exchange.
+                # Bin s = the full lane set masked to rays whose wave-k
+                # owner is s (static capacity R: overflow impossible;
+                # padding lanes carry act=0 and exit at the packet
+                # engine's first compaction rounds) ----
+                m = (dest[None] == s_ids) & want[None]        # (S, R)
+                send = jnp.stack([
+                    jnp.where(m, ox[None], 0.0),
+                    jnp.where(m, oy[None], 0.0),
+                    jnp.where(m, oz[None], 0.0),
+                    jnp.where(m, dx[None], 0.0),
+                    jnp.where(m, dy[None], 1.0),
+                    jnp.where(m, dz[None], 0.0),
+                    jnp.where(m, tc[None], -1.0),
+                    m.astype(jnp.float32),
+                ], axis=2)                                    # (S, R, 8)
+                recv = jax.lax.all_to_all(send, sp_axis, 0, 0)
+
+                # ---- step 3: the owner traces what it received with
+                # the unmodified local packet engine.  Received live
+                # rays are SPARSE over the (S, R) bin layout (each bin
+                # is a masked full lane set), so they are compacted
+                # live-first before packetization — otherwise nearly
+                # every packet holds >= 1 live ray and walks a union for
+                # a handful of lanes (hits are packet-composition-
+                # independent: the engine's standing bit-identity
+                # argument, rule 25/livesort) ----
+                f = recv.reshape(S * r, 8)
+                r_act = f[:, 7] > 0.5
+                perm = jnp.argsort(~r_act)
+                fp = f[perm]
+                p_act = fp[:, 7] > 0.5
+                h, st = trace_packets(
+                    wa_local,
+                    fp[:, 0:3], fp[:, 3:6], packet=packet,
+                    active=p_act,
+                    t_max=jnp.where(p_act, fp[:, 6], -1.0),
+                    occlusion=occl, stats=accounting)
+                if accounting:
+                    st = st.ray_steps.astype(jnp.int32)
+                steps = steps + st
+
+                def unp(a):
+                    return jnp.zeros_like(a).at[perm].set(a)
+
+                ginst = inst_map[jnp.clip(h.inst, 0, n_inst - 1)]
+                ret = jnp.stack([
+                    unp(h.dist), unp(h.bx), unp(h.by),
+                    unp(h.tri).astype(jnp.float32),
+                    unp(ginst).astype(jnp.float32)],
+                    axis=1).reshape(S, r, 5)
+
+                # ---- reverse all_to_all: results return to the ray's
+                # home chip; slot s holds my rays' hits from owner s —
+                # select each ray's own destination's answer ----
+                back = jax.lax.all_to_all(ret, sp_axis, 0, 0)  # (S, R, 5)
+                mine = jnp.take_along_axis(
+                    back,
+                    jnp.broadcast_to(dest[None, :, None].astype(jnp.int32),
+                                     (1, r, 5)), axis=0)[0]    # (R, 5)
+                t_k = jnp.where(want, mine[:, 0], LARGE_FLOAT)
+                if occl:
+                    # owner reports 0.0 for occluded (first hit inside
+                    # the clamp); any owner occluding settles the ray
+                    occluded = occluded | (want & (t_k < tc))
+                    continue
+                i_k = mine[:, 4].astype(jnp.int32)
+                tri_k = mine[:, 3].astype(jnp.int32)
+                hit_k = t_k < LARGE_FLOAT
+                better = (t_k < best_t) | (
+                    (t_k == best_t) & hit_k
+                    & ((i_k < best_i)
+                       | ((i_k == best_i) & (tri_k < best_tri))))
+                best_t = jnp.where(better, t_k, best_t)
+                best_i = jnp.where(better, i_k, best_i)
+                best_tri = jnp.where(better, tri_k, best_tri)
+                best_bx = jnp.where(better, mine[:, 1], best_bx)
+                best_by = jnp.where(better, mine[:, 2], best_by)
+
+            steps = jax.lax.psum(steps, sp_axis)
+            # broadcast each home slice's results to all sp peers
+            # (exactly one home per ray, so the psum IS the home value)
+            def from_home(x, neutral=0.0):
+                return jax.lax.psum(
+                    jnp.where(home, x, jnp.zeros_like(x)), sp_axis)
+
+            if occl:
+                occ_all = from_home(occluded.astype(jnp.int32)) > 0
+                return (jnp.where(occ_all, 0.0, LARGE_FLOAT),
+                        jnp.zeros(r), jnp.zeros(r),
+                        jnp.zeros(r, jnp.int32), jnp.zeros(r, jnp.int32),
+                        steps)
+            is_hit = best_t < LARGE_FLOAT
+            t_all = from_home(jnp.where(is_hit, best_t, 0.0))
+            hit_all = from_home(is_hit.astype(jnp.int32)) > 0
+            return (jnp.where(hit_all, t_all, LARGE_FLOAT),
+                    from_home(best_bx), from_home(best_by),
+                    from_home(jnp.where(is_hit, best_tri, 0)),
+                    from_home(jnp.where(is_hit, best_i, 0)), steps)
+
+        trace_fn = (trace_alltoall if schedule == "alltoall"
+                    else trace_replicate)
+
         dev = jax.lax.axis_index(dp_axis)
         pix_offset = dev.astype(jnp.int32) * n_pix_local
         img, rays, steps = frame_body(
@@ -264,17 +521,20 @@ def make_sharded_wavefront(mesh: Mesh, width: int, height: int,
             table=table, seed=0, packet=packet, shadow=shadow,
             tile_w=tile_w, tile_h=tile_h, trace_fn=trace_fn)
         total = jax.lax.psum(rays, dp_axis)
-        return img.reshape(3, rows_local, width).transpose(1, 2, 0), total
+        # steps is already sp-summed inside the trace; sum the dp blocks
+        steps_total = jax.lax.psum(steps, dp_axis)
+        return (img.reshape(3, rows_local, width).transpose(1, 2, 0),
+                total, steps_total)
 
     def step(sharded, sa, cam, light):
         shard = jax.shard_map(
             _body, mesh=mesh,
             in_specs=(
-                jax.tree.map(lambda _: P(sp_axis), sharded),
+                sharded.specs(sp_axis),
                 jax.tree.map(lambda _: P(), sa),
                 jax.tree.map(lambda _: P(), cam),
                 jax.tree.map(lambda _: P(), light)),
-            out_specs=(P(dp_axis), P()),
+            out_specs=(P(dp_axis), P(), P()),
             check_vma=False,
         )
         return shard(sharded, sa, cam, light)
@@ -285,9 +545,15 @@ def make_sharded_wavefront(mesh: Mesh, width: int, height: int,
 def render_sharded(scene: Scene, cam: Camera, params: RenderParams,
                    width: int, height: int, n_shards: int,
                    mesh: Optional[Mesh] = None,
-                   packet: int = 128) -> Tuple[np.ndarray, int]:
+                   packet: int = 128, schedule: str = "replicate",
+                   return_steps: bool = False, accounting: bool = False):
     """Host API: bin-pack + shard + render over an (dp, sp) mesh built
-    from the available devices (dp = n_devices // n_shards)."""
+    from the available devices (dp = n_devices // n_shards).
+
+    ``schedule``: 'replicate' or 'alltoall' (make_sharded_wavefront).
+    ``return_steps=True`` additionally returns the mesh-summed traversal
+    step count — the compute-accounting figure the two schedules are
+    compared on (docs/SCENE_SHARDING.md)."""
     from vortex_rt_tpu.ops.shade_lanes import ShadeArrays
 
     sharded, sb_full = build_sharded(scene, n_shards)
@@ -299,8 +565,11 @@ def render_sharded(scene: Scene, cam: Camera, params: RenderParams,
     step = make_sharded_wavefront(
         mesh, width, height, params.max_depth, params.spp,
         shadow=params.shadow,
-        pathtrace=getattr(params, "pathtrace", False), packet=packet)
-    img, total = step(sharded, ShadeArrays.from_scene(sb_full),
-                      CameraArrays.from_camera(cam),
-                      LightArrays.from_params(params))
+        pathtrace=getattr(params, "pathtrace", False), packet=packet,
+        schedule=schedule, accounting=accounting)
+    img, total, steps = step(sharded, ShadeArrays.from_scene(sb_full),
+                             CameraArrays.from_camera(cam),
+                             LightArrays.from_params(params))
+    if return_steps:
+        return np.asarray(img), int(total), int(steps)
     return np.asarray(img), int(total)

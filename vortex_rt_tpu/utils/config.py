@@ -84,16 +84,19 @@ class RTConfig:
                                 # 54-59 for 64/128 at 512x512 spp2 d2
                                 # (coherent waves amortize the walk over
                                 # more rays; VPU stays full either way)
-    bounce_packet: int = 32    # packet size for bounce (k>0) waves:
+    bounce_packet: int = 16    # packet size for bounce (k>0) waves:
                                 # diffuse-bounce directions are incoherent
                                 # and a packet walks its rays' UNION path,
                                 # so bounce waves want tighter packets
                                 # (0 = per-ray engine for bounce waves).
-                                # 32 is the adopted optimum everywhere:
-                                # the round-4 8-wide+fused sweep measured
-                                # bp=32 1.5x faster than 16 at 1080p
-                                # (1.36 vs 2.12 s/pass — rule 30); the
-                                # ladder scale configs use this default
+                                # History: bp=32 won round 4's sweep AT
+                                # slab=32768; the round-5 slab grid
+                                # re-swept bp jointly with slab and at
+                                # the adopted slab=131072 bp=16 wins at
+                                # every point (1.95 vs 2.11 s at the
+                                # config-3 shape — B=slab/bp packets
+                                # walk per iteration, so smaller bp
+                                # ALSO raises the gather batch; rule 34)
     bounce_fronts: int = 0      # stack nodes walked per packet per loop
                                 # iteration on incoherent (k>0) waves
                                 # (trace_packets fronts; flat builds
@@ -106,7 +109,11 @@ class RTConfig:
                                 # stack F nodes at a time with bit-
                                 # identical hits.  0 = auto: env
                                 # VORTEX_RT_FRONTS (sweep harnesses)
-                                # or 1
+                                # or 2 — the round-5 slab x bp x fronts
+                                # grid measured fronts=2 fastest at
+                                # every (slab, bp) point and fronts=3/4
+                                # flat-to-worse (tools/exp_slab.py,
+                                # ARCHITECTURE.md rule 34)
     slab: int = 0               # rays per streamed frame slab (frame_body
                                 # slab-major loop).  Sets the while-loop
                                 # GATHER BATCH: a slab of S lanes at
@@ -115,12 +122,16 @@ class RTConfig:
                                 # gather costs ~13 us FIXED per iteration
                                 # + ~2.5 ns/row (tools/exp_gather.py,
                                 # rule 33) — bigger slabs amortize the
-                                # fixed latency over more packets (B=4096
-                                # costs 1.55x B=1024 for 4x the rows).
+                                # fixed latency over more packets.
                                 # Bounded by loop-state memory (~200 B/
-                                # lane).  0 = auto: env VORTEX_RT_SLAB
-                                # or 32768 (pending the rule-33 hardware
-                                # sweep at the 1080p scale configs)
+                                # lane) AND by the straggler max (one
+                                # while_loop iterates for its slowest
+                                # packet): the round-5 hardware grid
+                                # (tools/exp_slab.py, rule 34) measured
+                                # a clear optimum at 131072 (config-3
+                                # 1080p: 2.39 s -> 1.95 s/frame with
+                                # bp=16 f2; 262144/524288 REGRESS).
+                                # 0 = auto: env VORTEX_RT_SLAB or 131072
     shadow_packet: Optional[int] = None  # packet size for shadow
                                 # occlusion waves; None follows each
                                 # bounce's wave packet (primary-size at
@@ -172,12 +183,12 @@ class RTConfig:
             import os
             object.__setattr__(
                 self, "bounce_fronts",
-                max(int(os.environ.get("VORTEX_RT_FRONTS", "1")), 1))
+                max(int(os.environ.get("VORTEX_RT_FRONTS", "2")), 1))
         if self.slab == 0:
             import os
             object.__setattr__(
                 self, "slab",
-                max(int(os.environ.get("VORTEX_RT_SLAB", "32768")), 1024))
+                max(int(os.environ.get("VORTEX_RT_SLAB", "131072")), 1024))
         if self.bvh_width == 0:
             # auto: 8-wide needs the flattened build's packed leaf ids;
             # suspension/TLAS pipelines keep the 4-wide instance rows
