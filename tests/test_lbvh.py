@@ -222,6 +222,56 @@ def test_lbvh_refit_parity_with_oracle(rng):
     assert bool(np.asarray(state.done).all())
 
 
+def test_refit_compact_pools(rng):
+    """refit_lbvh(pool_rows=, leaf_rows= from compact_sizes) emits exact
+    PREFIXES of the worst-case 2T-1 / T tables (ids are prefix sums), so
+    the compact refit is bit-identical where it overlaps and every
+    downstream consumer just sees smaller tables (VERDICT r4 #5: the
+    1M-tri refit paid ~7x pool padding per frame)."""
+    from vortex_rt_tpu.accel.lbvh import compact_plan
+
+    m = random_soup(rng, 600)
+    v0, v1, v2 = pad_tris(m.v0, m.v1, m.v2, 4)
+    dv = [jnp.asarray(v) for v in (v0, v1, v2)]
+    for width in (4, 8):
+        _, topo = build_lbvh_topo(*dv, leaf_size=4, width=width)
+        pool, rows, surv_idx = compact_plan(topo, pad=64)
+        t = v0.shape[0]
+        assert pool < 2 * t - 1 and rows <= t
+        full = refit_lbvh(topo, *dv, leaf_size=4, width=width)
+        comp = refit_lbvh(topo, *dv, leaf_size=4, width=width,
+                          pool_rows=pool, leaf_rows=rows,
+                          surv_idx=surv_idx)
+        assert comp.nodes.shape == (pool, 32)
+        assert comp.tri_rows.shape[0] == rows
+        np.testing.assert_array_equal(np.asarray(comp.nodes),
+                                      np.asarray(full.nodes[:pool]))
+        np.testing.assert_array_equal(np.asarray(comp.tri_rows),
+                                      np.asarray(full.tri_rows[:rows]))
+        # nothing truncated: no node record landed beyond the compact
+        # bound (rows beyond it hold only the -1 empty-slot tid
+        # sentinel — never referenced, since every KIND_TRIS left id is
+        # a used-prefix row)
+        assert not np.asarray(full.nodes[pool:]).any()
+        tails = np.asarray(full.tri_rows[rows:]).reshape(-1, 16)
+        assert not tails[:, :9].any()
+        # and the compact tree traces identically (per-ray engine is
+        # 4-wide only; width 8 is covered by the exact prefix equality)
+        if width == 4:
+            r = np.random.default_rng(5)
+            o = r.uniform(-14, 14, (64, 3)).astype(np.float32)
+            d = r.normal(size=(64, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            hf, _, _ = trace_rays_wide(
+                wide_arrays_from_lbvh(full, 4, width=width),
+                jnp.asarray(o), jnp.asarray(d))
+            hc, _, _ = trace_rays_wide(
+                wide_arrays_from_lbvh(comp, 4, width=width),
+                jnp.asarray(o), jnp.asarray(d))
+            np.testing.assert_array_equal(np.asarray(hc.dist),
+                                          np.asarray(hf.dist))
+
+
 def test_pad_tris():
     v = np.zeros((5, 3), np.float32)
     a, b, c = pad_tris(v, v + 1, v + 2, 4)

@@ -311,7 +311,8 @@ def config5(draws, res=None):
     import dataclasses as dc
 
     from vortex_rt_tpu.accel.lbvh import (
-        build_lbvh_topo, pad_tris, refit_lbvh, wide_arrays_from_lbvh,
+        build_lbvh_topo, compact_plan, pad_tris, refit_lbvh,
+        wide_arrays_from_lbvh,
     )
     from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
     from vortex_rt_tpu.models import bigscenes
@@ -361,11 +362,21 @@ def config5(draws, res=None):
     r = WavefrontRenderer.from_buffers(sb, config=cfg)
     wa_tmpl = r.wa
 
+    # compact pools: the quantize/scatter/gather/fuse chain runs only
+    # over the slots the collapse assigned (~4x fewer node rows, ~8x
+    # fewer survivor-chain rows at width 8; exact-prefix parity gated
+    # by test_refit_compact_pools)
+    pool_rows, leaf_rows, surv_idx = compact_plan(topo)
+    rec["refit_pool_rows"] = pool_rows
+    rec["refit_leaf_rows"] = leaf_rows
+
     @jax.jit
     def refit_frame(topo, v0, v1, v2, t):
         lb = refit_lbvh(topo, move(v0, base_y[0], t),
                         move(v1, base_y[1], t), move(v2, base_y[2], t),
-                        leaf_size=cfg.max_leaf_tris, width=cfg.bvh_width)
+                        leaf_size=cfg.max_leaf_tris, width=cfg.bvh_width,
+                        pool_rows=pool_rows, leaf_rows=leaf_rows,
+                        surv_idx=surv_idx)
         wa = wide_arrays_from_lbvh(lb, cfg.max_leaf_tris,
                                    width=cfg.bvh_width)
         if cfg.fused_rows:
@@ -432,6 +443,12 @@ def config6(draws):
     # watchdog (measured: the r4 ladder's config-6 burst killed the
     # worker; single frames run 7.2 s)
     rec.update(_bench_frames(r, cam, p, 512, 512))
+    # the 1080p any-hit row (VERDICT r4 #6): same program at frame
+    # scale, per-dispatch frames
+    hd = _bench_frames(r, cam, p, 1920, 1080)
+    rec["mrays_1080p"] = hd["mrays"]
+    rec["ms_per_frame_1080p"] = hd["ms_per_frame"]
+    rec["compile_s_1080p"] = hd["compile_s"]
 
     # parity vs the per-ray suspension engine at a reduced size (the
     # golden oracle has no any-hit protocol; the suspension engine is

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--n", type=int, default=708)  # 708 -> ~1M tris
     ap.add_argument("--leaf", type=int, default=4)
     ap.add_argument("--width", type=int, default=8)
+    ap.add_argument("--compact", action="store_true",
+                    help="size pools via compact_sizes (VERDICT r4 #5)")
     a = ap.parse_args()
 
     from vortex_rt_tpu.accel import lbvh as L
@@ -61,10 +63,15 @@ def main():
 
     lb, topo = L.build_lbvh_topo(*dv, leaf_size=a.leaf, width=a.width)
     jax.block_until_ready(lb.nodes)
+    pool_rows = leaf_rows = 0
+    surv_idx = None
+    if a.compact:
+        pool_rows, leaf_rows, surv_idx = L.compact_plan(topo)
     print(f"node pool rows={lb.nodes.shape[0]} "
           f"leaf rows={lb.tri_rows.shape[0]} "
           f"used leaves={int(lb.num_leaves)} "
-          f"used pool={int((topo.newid >= 0).sum()) + 0}")
+          f"used pool={int((topo.newid >= 0).sum()) + 0} "
+          f"compact=({pool_rows},{leaf_rows})")
 
     base_y = dv[0][:, 1], dv[1][:, 1], dv[2][:, 1]
 
@@ -90,12 +97,13 @@ def main():
     (bmin, bmax), _ = timed("boxes", boxes, w0, w1, w2)
 
     pack = jax.jit(lambda bmin, bmax: L._pack_wide(
-        topo, bmin, bmax, l, a.leaf, root_offset=0, width=a.width))
+        topo, bmin, bmax, l, a.leaf, root_offset=0, width=a.width,
+        pool_rows=pool_rows, surv_idx=surv_idx, leaf_rows=leaf_rows))
     nodes, _ = timed("pack", pack, bmin, bmax)
 
     rows_f = jax.jit(lambda v0, v1, v2: L._leaf_rows(
         v0, v1, v2, topo.order, topo.row_lo, topo.row_cnt, l,
-        leaf_size=a.leaf))
+        leaf_size=a.leaf, n_rows=leaf_rows))
     rows, _ = timed("rows", rows_f, w0, w1, w2)
 
     wa_t = L.wide_arrays_from_lbvh(lb, a.leaf, width=a.width)
@@ -110,7 +118,9 @@ def main():
     @jax.jit
     def full(t_):
         vv = tuple(move1(dv[k], base_y[k], t_) for k in range(3))
-        lb2 = L.refit_lbvh(topo, *vv, leaf_size=a.leaf, width=a.width)
+        lb2 = L.refit_lbvh(topo, *vv, leaf_size=a.leaf, width=a.width,
+                           pool_rows=pool_rows, leaf_rows=leaf_rows,
+                           surv_idx=surv_idx)
         wa = dc.replace(wa_t, nodes=lb2.nodes, tri_rows=lb2.tri_rows)
         wa = wa.fuse()
         return wa.nodes, wa.tri_rows, wa.fused

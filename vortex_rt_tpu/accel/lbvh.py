@@ -460,21 +460,51 @@ def _f32bits(x):
 
 
 def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size,
-               root_offset: int = 0, width: int = 4):
+               root_offset: int = 0, width: int = 4,
+               pool_rows: int = 0, surv_idx=None, leaf_rows: int = 0):
     """Quantize + scatter wide records (old boxes -> new-id pool).
 
     Same e = ceil(log2(extent/255)) floor/ceil quantization rule as the
     reference (bvh.cpp:215-264) and the static packer (accel.qbvh).
     ``width`` selects the packed row layout (ops.traverse_wide
-    _row_layout): 4-wide meta at word 14, 8-wide at word 22."""
+    _row_layout): 4-wide meta at word 14, 8-wide at word 22.
+
+    ``pool_rows`` (static) sizes the output pool.  The default 2l-1
+    reserves a slot per BINARY node, but the depth-stride collapse uses
+    only ~1/4 (w=4) / ~1/7 (w=8) of them — ids are contiguous by
+    construction (prefix sums), so a compact pool is a pure size cap.
+    compact_sizes() computes the exact bound host-side; the per-frame
+    refit then scatters into (and later gathers/fuses over) a pool
+    several times smaller (VERDICT r4 #5).
+
+    ``surv_idx`` ((S,) i32, -1 padded, from compact_plan) restricts the
+    whole quantize chain to SURVIVOR internal nodes: only ~1/8 of the
+    l-1 binary internals survive the width-8 collapse, and the gather /
+    quantize / scatter chain is linear in the rows it runs over.
+    ``leaf_rows`` (static) likewise slices the leaf-record scatter to
+    the used contiguous prefix.  Both are bit-identical to the full
+    chain (survivor records land at the same new ids; non-survivors
+    were never scattered)."""
     w = width
     lb = _LEFT_BITS if w == 4 else 25
     qoff, hoff = 6, 6 + w
     moff, loff = 6 + 2 * w, 6 + 2 * w + 1
-    n_nodes = 2 * l - 1
-    surv, ch_old, arity, base = (topo.surv, topo.ch_old, topo.arity,
-                                 topo.base)
-    ch_s = jnp.clip(ch_old, 0, n_nodes - 1)
+    n_nodes = pool_rows if pool_rows else 2 * l - 1
+    if surv_idx is not None:
+        si = jnp.clip(surv_idx, 0, l - 2)
+        pad_row = surv_idx < 0
+        surv = jnp.where(pad_row, False, topo.surv[si])
+        ch_old = jnp.where(pad_row[:, None], -1, topo.ch_old[si])
+        arity = topo.arity[si]
+        base = topo.base[si]
+        sid_rows = topo.newid[si]
+    else:
+        surv, ch_old, arity, base = (topo.surv, topo.ch_old, topo.arity,
+                                     topo.base)
+        sid_rows = topo.newid[: l - 1]
+    # ch_old ids live in the BINARY box space (2l-1 rows of bmin/bmax),
+    # independent of the (possibly compact) output pool size
+    ch_s = jnp.clip(ch_old, 0, 2 * l - 2)
     cmin = bmin[ch_s]          # (l-1, w, 3)
     cmax = bmax[ch_s]
     present = (ch_old >= 0)[..., None]
@@ -499,7 +529,7 @@ def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size,
 
     rec = jnp.zeros((n_nodes, 32), jnp.uint32)
     # survivor internal records, scattered at their new ids
-    srec = jnp.zeros((l - 1, 32), jnp.uint32)
+    srec = jnp.zeros((surv.shape[0], 32), jnp.uint32)
     srec = srec.at[:, 0].set(_f32bits(org[:, 0]))
     srec = srec.at[:, 1].set(_f32bits(org[:, 1]))
     srec = srec.at[:, 2].set(_f32bits(org[:, 2]))
@@ -519,28 +549,40 @@ def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size,
     srec = srec.at[:, moff].set(
         merged_left | (arity.astype(jnp.uint32) << lb)
         | (jnp.uint32(KIND_INTERNAL) << 29))
-    sid = topo.newid[: l - 1]
-    rec = rec.at[jnp.where(surv, sid, n_nodes)].set(
+    rec = rec.at[jnp.where(surv, sid_rows, n_nodes)].set(
         jnp.where(surv[:, None], srec, 0), mode="drop")
 
-    # leaf records (one per cut-subtree row) at their new ids
-    leaf_first = jnp.arange(l, dtype=jnp.uint32)
-    lrec = jnp.zeros((l, 32), jnp.uint32)
+    # leaf records (one per cut-subtree row) at their new ids; used rows
+    # are the contiguous prefix (row ids are a prefix sum), so a static
+    # ``leaf_rows`` cap is exact
+    lr = leaf_rows if leaf_rows else l
+    leaf_first = jnp.arange(lr, dtype=jnp.uint32)
+    lrec = jnp.zeros((lr, 32), jnp.uint32)
     lrec = lrec.at[:, moff].set(
         leaf_first | (jnp.uint32(1) << lb)
         | (jnp.uint32(KIND_TRIS) << 29))
-    lrec = lrec.at[:, loff].set(topo.row_cnt.astype(jnp.uint32))
-    lid = topo.leaf_newid
+    lrec = lrec.at[:, loff].set(topo.row_cnt[:lr].astype(jnp.uint32))
+    lid = topo.leaf_newid[:lr]
     used = lid >= 0
     rec = rec.at[jnp.where(used, lid, n_nodes)].set(
         jnp.where(used[:, None], lrec, 0), mode="drop")
     return rec
 
 
-def _leaf_rows(v0, v1, v2, order, row_lo, row_cnt, l, leaf_size=4):
+def _leaf_rows(v0, v1, v2, order, row_lo, row_cnt, l, leaf_size=4,
+               n_rows: int = 0):
     """(l, 16*leaf_size) packed leaf rows: row j holds the ``row_cnt[j]``
     triangles at sorted slots row_lo[j].. (contiguous Morton range of one
-    cut subtree); empty slots are zero-area degenerates (never hit)."""
+    cut subtree); empty slots are zero-area degenerates (never hit).
+
+    ``n_rows`` (static) caps the table to the rows actually used (row
+    ids are a prefix sum over maximal cut nodes, so used rows are the
+    contiguous prefix): the slot gathers and the output table shrink
+    ~3x at leaf_size 4 (compact_sizes)."""
+    if n_rows:
+        l = n_rows
+        row_lo = row_lo[:n_rows]
+        row_cnt = row_cnt[:n_rows]
     t = v0.shape[0]
     k = jnp.arange(leaf_size, dtype=jnp.int32)
     idx = jnp.clip(row_lo[:, None] + k[None, :], 0, t - 1)
@@ -630,9 +672,39 @@ def build_lbvh_topo(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
                       width=width), topo
 
 
-@partial(jax.jit, static_argnames=("leaf_size", "tlas", "width"))
+def compact_sizes(topo: LBVHTopo, pad: int = 256):
+    """Host-side exact pool bounds for the compact refit path.
+
+    Returns (pool_rows, leaf_rows): the wide-node pool slots and leaf
+    rows the collapse actually assigned (both id spaces are contiguous
+    prefix sums).  Padded up to ``pad`` so minor topology changes
+    rebucket rarely.  One D2H sync per topology build (not per frame)."""
+    pool = max(int(jnp.max(topo.newid)), int(jnp.max(topo.leaf_newid))) + 1
+    rows = int(jnp.sum((topo.row_cnt > 0).astype(jnp.int32)))
+    up = lambda v: ((v + pad - 1) // pad) * pad
+    return up(pool), up(max(rows, 1))
+
+
+def compact_plan(topo: LBVHTopo, pad: int = 256):
+    """compact_sizes + the survivor index list for the fully compacted
+    per-frame repack: (pool_rows, leaf_rows, surv_idx) where surv_idx
+    is a device (S,) i32 array of the ~l/8 (width 8) binary internals
+    that survive the collapse, -1 padded to a ``pad`` multiple.  Built
+    once per topology (host sync), reused every refit frame."""
+    pool_rows, leaf_rows = compact_sizes(topo, pad=pad)
+    ids = np.where(np.asarray(topo.surv))[0].astype(np.int32)
+    n = ((len(ids) + pad - 1) // pad) * pad
+    out = np.full(max(n, pad), -1, np.int32)
+    out[: len(ids)] = ids
+    return pool_rows, leaf_rows, jnp.asarray(out)
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "tlas", "width",
+                                   "pool_rows", "leaf_rows"))
 def refit_lbvh(topo: LBVHTopo, v0, v1, v2, leaf_size: int = 4,
-               tlas: bool = False, width: int = 4) -> LBVHNodes:
+               tlas: bool = False, width: int = 4,
+               pool_rows: int = 0, leaf_rows: int = 0,
+               surv_idx=None) -> LBVHNodes:
     """Refit-only fast path: keep the topology, recompute boxes +
     requantize + repack.  No argsort, no Karras searches — the per-frame
     animation update (BASELINE config 5; the reference has no analog,
@@ -641,7 +713,13 @@ def refit_lbvh(topo: LBVHTopo, v0, v1, v2, leaf_size: int = 4,
     ``tlas=False`` (default) emits the flat single-tree layout (no
     identity-instance root: packet loops then skip the instance branch
     and drop the local-space lanes); ``tlas=True`` keeps the legacy
-    1-node TLAS wrapper."""
+    1-node TLAS wrapper.
+
+    ``pool_rows``/``leaf_rows`` (static, from compact_sizes): emit the
+    COMPACT pools instead of the worst-case 2T-1 / T tables — at 1M
+    tris the default pool is ~7x the used slots (width 8), and every
+    downstream consumer (scatter memset, leaf-slot gathers, the fuse
+    gather, traversal's clamp bounds) pays for the padding."""
     t = v0.shape[0]
     l = t  # triangle-granular leaves
     lmin, lmax = _leaf_boxes(v0, v1, v2, topo.order)
@@ -651,10 +729,12 @@ def refit_lbvh(topo: LBVHTopo, v0, v1, v2, leaf_size: int = 4,
     bmax = jnp.concatenate([imax, lmax])
     assert not (tlas and width != 4), "TLAS wrapper is 4-wide only"
     blas = _pack_wide(topo, bmin, bmax, l, leaf_size,
-                      root_offset=1 if tlas else 0, width=width)
+                      root_offset=1 if tlas else 0, width=width,
+                      pool_rows=pool_rows, surv_idx=surv_idx,
+                      leaf_rows=leaf_rows)
     nodes = jnp.concatenate([_tlas_root(), blas]) if tlas else blas
     rows = _leaf_rows(v0, v1, v2, topo.order, topo.row_lo, topo.row_cnt, l,
-                      leaf_size=leaf_size)
+                      leaf_size=leaf_size, n_rows=leaf_rows)
     return LBVHNodes(nodes=nodes, tri_rows=rows,
                      num_leaves=(topo.row_cnt > 0).sum())
 

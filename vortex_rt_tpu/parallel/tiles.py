@@ -277,3 +277,11 @@ def dryrun(n_devices: int) -> None:
         assert total4 >= h2 * w2, total4
         derr = float(np.sqrt(((img4 - img3) ** 2).mean()))
         assert derr < 1e-5, f"sharded vs replicated rmse {derr}"
+        # the candidate-routed all_to_all schedule (SCENE_SHARDING.md
+        # steps 1-6): real lax.all_to_all exchanges through the same
+        # frame — must reproduce the replicated image too
+        img5, total5 = render_sharded(sc2, cam2, params2, w2, h2,
+                                      n_shards=2, schedule="alltoall")
+        assert total5 == total4, (total5, total4)
+        derr2 = float(np.sqrt(((img5 - img3) ** 2).mean()))
+        assert derr2 < 1e-5, f"alltoall vs replicated rmse {derr2}"
