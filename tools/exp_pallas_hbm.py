@@ -63,11 +63,13 @@ def _walk_kernel(tab_ref, out_ref, scratch, sems, steps: int, k: int,
         # start all k copies (addresses from the PREVIOUS step's rows)
         for j in range(k):
             pltpu.make_async_copy(
-                tab_ref.at[idxs[j]], scratch.at[j], sems.at[j]).start()
+                tab_ref.at[pl.ds(idxs[j], 1)], scratch.at[j],
+                sems.at[j]).start()
         nxt = []
         for j in range(k):
             pltpu.make_async_copy(
-                tab_ref.at[idxs[j]], scratch.at[j], sems.at[j]).wait()
+                tab_ref.at[pl.ds(idxs[j], 1)], scratch.at[j],
+                sems.at[j]).wait()
             nxt.append(scratch[j, 0, 0])
         return tuple(nxt)
 

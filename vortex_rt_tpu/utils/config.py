@@ -156,7 +156,14 @@ class RTConfig:
                                 # bvh_width=4 (the kernel is width-4
                                 # only — pin it; auto resolves to 8 on
                                 # flattened builds), and the wave needs
-                                # no stats/alpha modes
+                                # no stats/alpha modes.  Scale verdict
+                                # (rule 37, tools/exp_pallas_hbm.py):
+                                # the HBM-resident per-packet walk is
+                                # MEASURED DEAD — scalar-core DMA issue
+                                # (~40-45 ns/walk-step at 32 interleaved
+                                # walks) cannot reach the batched
+                                # gather's ~4 ns/row, so this stays a
+                                # VMEM-scale demonstration path
 
     # ---- render parameters (kernel_arg_t analog, raytracing/common.h:164) ----
     width: int = 256
