@@ -149,3 +149,36 @@ def test_cli_compare_flag(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "COMPARE: rmse=" in out and "PASS" in out
+
+
+def test_cli_scope_trace(tmp_path):
+    """Scope analog (runtime/common/scope.cpp:37-216): one timeline with
+    per-stage ms spans AND per-wave PerfStats counter tracks."""
+    import json
+
+    from vortex_rt_tpu import cli
+
+    sc = tmp_path / "scope.json"
+    rc = cli.main(["-m", "sphere", "-w", "16", "-H", "16", "-d", "2",
+                   "--engine", "wavefront", "--scope-out", str(sc),
+                   "-o", str(tmp_path / "o.ppm")])
+    assert rc == 0 and sc.exists()
+    data = json.loads(sc.read_text())
+    evs = data["traceEvents"]
+    spans = {e["name"]: e for e in evs if e["ph"] == "X"}
+    # every frame_profile stage appears as a span; trace waves carry
+    # their PacketStats in args
+    assert "camera" in spans and "trace0" in spans and "trace1" in spans
+    assert spans["trace0"]["args"].get("steps", 0) > 0
+    # counter tracks step once per instrumented wave
+    counters = [e for e in evs if e["ph"] == "C"]
+    names = {e["name"] for e in counters}
+    assert {"loop_iterations", "live_packet_steps", "live_ray_steps",
+            "node_kind_mix"} <= names
+    mix = [e for e in counters if e["name"] == "node_kind_mix"]
+    assert all({"internal", "triangle", "instance"} <= set(e["args"])
+               for e in mix)
+    # spans tile a contiguous synthetic timeline
+    xs = sorted((e["ts"], e["dur"]) for e in evs if e["ph"] == "X")
+    for (t0, d0), (t1, _) in zip(xs, xs[1:]):
+        assert abs((t0 + d0) - t1) < 1e-6

@@ -79,6 +79,10 @@ def main(argv=None) -> int:
     ap.add_argument("--perf", action="store_true", help="print perf counters")
     ap.add_argument("--trace-out", default=None,
                     help="write a Chrome/Perfetto trace JSON of the render")
+    ap.add_argument("--scope-out", default=None, metavar="FILE",
+                    help="frame logic-analyzer trace (scope analog): "
+                         "per-stage ms spans + per-wave PerfStats "
+                         "counter tracks on one Perfetto timeline")
     ap.add_argument("--shadow", action="store_true",
                     help="occlusion-tested direct lighting (shadow rays)")
     ap.add_argument("--pathtrace", action="store_true",
@@ -225,6 +229,10 @@ def main(argv=None) -> int:
     if tracer is not None:
         tracer.save(args.trace_out)
         print(f"trace -> {args.trace_out}")
+    if args.scope_out and not args.cpu and args.engine == "wavefront":
+        r.scope_trace(cam, params, args.width,
+                      args.height).save(args.scope_out)
+        print(f"scope -> {args.scope_out}")
     return 0
 
 

@@ -1463,6 +1463,53 @@ class WavefrontRenderer:
             prev_ms = ms
         return out
 
+    def scope_trace(self, cam: Camera, params: RenderParams,
+                    width: Optional[int] = None,
+                    height: Optional[int] = None,
+                    n_frames: int = 4):
+        """Frame logic-analyzer view (the scope analog,
+        runtime/common/scope.cpp:37-216: drain signal taps -> VCD).
+        Drains BOTH observability surfaces into one Perfetto timeline:
+        ``frame_profile``'s per-stage wall-clock ms become spans on a
+        synthetic frame timeline, and ``perf_trace``'s per-wave
+        PerfStats become counter tracks (loop iterations, live-packet /
+        live-ray steps, occupancy, node-kind mix) stepped at each
+        wave's span — so the divergence counters line up under the ms
+        budget they explain.  Returns a ``Tracer``; call ``.save(path)``
+        and load in ui.perfetto.dev or chrome://tracing.
+
+        Diagnostic path: compiles one program per stage (frame_profile)
+        plus the stats frame (perf_trace) on first use."""
+        from vortex_rt_tpu.utils.trace import Tracer
+
+        tr = Tracer()
+        prof = self.frame_profile(cam, params, width, height,
+                                  n_frames=n_frames)
+        stats = self.perf_trace(cam, params, width, height)
+        tr.instant("frame", rays=stats.get("rays"),
+                   steps=stats.get("steps"),
+                   packet_size=stats.get("packet_size"))
+        t = 0.0
+        for row in prof:
+            dur = max(float(row["ms"]), 0.0) * 1e3  # us
+            st = stats.get(row["stage"])
+            tr.complete_at(row["stage"], t, dur, **(st or {}))
+            if st:
+                # counter tracks step at the wave's start so the
+                # sawtooth under the span shows which wave spent what
+                tr.counter_at("loop_iterations", t, value=st["steps"])
+                tr.counter_at("live_packet_steps", t,
+                              value=st["packet_steps"])
+                tr.counter_at("live_ray_steps", t, value=st["ray_steps"])
+                tr.counter_at("rays_per_live_packet", t,
+                              value=st["rays_per_live_packet"])
+                tr.counter_at("node_kind_mix", t,
+                              internal=st["int_steps"],
+                              triangle=st["tri_steps"],
+                              instance=st["ins_steps"])
+            t += dur
+        return tr
+
     def render_accum(self, cam: Camera, params: RenderParams,
                      width: Optional[int] = None,
                      height: Optional[int] = None,

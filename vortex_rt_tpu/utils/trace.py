@@ -48,6 +48,23 @@ class Tracer:
             "pid": 0, "tid": 0, "args": values,
         })
 
+    # -- explicit-timeline events (scope analog: the emitter replays a
+    # frame's measured stage budget onto a synthetic timeline instead of
+    # wrapping live host code)
+    def complete_at(self, name: str, ts_us: float, dur_us: float,
+                    tid: int = 0, **args: Any) -> None:
+        self._events.append({
+            "name": name, "ph": "X", "ts": ts_us, "dur": dur_us,
+            "pid": 0, "tid": tid, "args": args,
+        })
+
+    def counter_at(self, name: str, ts_us: float,
+                   **values: float) -> None:
+        self._events.append({
+            "name": name, "ph": "C", "ts": ts_us,
+            "pid": 0, "tid": 0, "args": values,
+        })
+
     @property
     def events(self) -> List[Dict[str, Any]]:
         return list(self._events)
