@@ -266,3 +266,41 @@ def test_wavefront_inline_alpha_matches_suspension_frame():
     r_solid = WavefrontRenderer.from_buffers(sb, RTConfig())
     img_solid, _ = r_solid.render(cam, p, w, h)
     assert np.abs(img_fast - img_solid).max() > 0.05
+
+
+def test_inline_alpha_fused_rows_parity():
+    """Fused rows that carry the alpha fields (with_alpha after fuse —
+    round 5): the any-hit leaf step reads uv/texture-window fields from
+    the node-row gather already in hand instead of a second gather at
+    the same chain depth.  Hits must be bit-identical to the separate
+    alpha_rows gather (same values, same candidate decisions), in both
+    the single-front and multi-front bodies."""
+    sc = _cutout_scene()
+    sb = sc.build(RTConfig(flatten=True))
+    wa_sep = WideArrays.from_scene(sb, width=8).with_alpha(sb)
+    wa_fused = WideArrays.from_scene(sb, width=8).fuse().with_alpha(sb)
+    assert wa_fused.fused is not None
+    lmax = max(int(wa_fused.max_leaf_tris), 1)
+    assert int(wa_fused.fused.shape[1]) == 32 + 24 * lmax
+    _, (o, d) = _camera_rays()
+
+    for fr in (1, 2):
+        hs, _ = trace_packets(wa_sep, o, d, packet=16, alpha_ref=THR,
+                              fronts=fr)
+        hf, _ = trace_packets(wa_fused, o, d, packet=16, alpha_ref=THR,
+                              fronts=fr)
+        np.testing.assert_array_equal(np.asarray(hs.dist),
+                                      np.asarray(hf.dist))
+        np.testing.assert_array_equal(np.asarray(hs.tri),
+                                      np.asarray(hf.tri))
+        np.testing.assert_array_equal(np.asarray(hs.bx), np.asarray(hf.bx))
+
+
+def test_fuse_after_with_alpha_also_carries_alpha():
+    """Both call orders produce the alpha-extended fused table."""
+    sc = _cutout_scene()
+    sb = sc.build(RTConfig(flatten=True))
+    wa_a = WideArrays.from_scene(sb, width=8).with_alpha(sb).fuse()
+    wa_b = WideArrays.from_scene(sb, width=8).fuse().with_alpha(sb)
+    np.testing.assert_array_equal(np.asarray(wa_a.fused),
+                                  np.asarray(wa_b.fused))

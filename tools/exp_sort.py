@@ -13,12 +13,19 @@ shape the slab-major frame traces):
   unsorted        trace_packets as the frame runs today
   octant          sorted by 3-bit direction octant
   octant+morton   octant + 12-bit origin Morton code
+  seg<N>          SEGMENTED octant sort: stable argsort of
+                  (lane//N) << 4 | octant (dead lanes keyed 15) — rays
+                  reorder by direction only WITHIN an N-lane window, so
+                  the tile-major origin locality rule 23 showed the
+                  global sort destroys survives at window granularity
+                  while packets still become direction-pure (round 5)
   +dead           same, with a dead-lane fraction (sorting also groups
                   dead lanes into all-dead packets that retire in 1 step)
 Sort timings INCLUDE key build + argsort + 8 lane gathers + the inverse
 scatter of the 5 hit fields.
 
 Usage: python tools/exp_sort.py [--slab 32768] [--packet 32] [--dead 0.5]
+                                [--segs 256,1024,4096] [--fronts 2]
 """
 import argparse
 import sys
@@ -62,6 +69,10 @@ def main():
     ap.add_argument("--packet", type=int, default=32)
     ap.add_argument("--dead", type=float, default=0.0)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--segs", type=str, default="",
+                    help="comma list of segment sizes for the segmented"
+                         " octant sort (e.g. 256,1024,4096)")
+    ap.add_argument("--fronts", type=int, default=1)
     a = ap.parse_args()
 
     from vortex_rt_tpu.models import bigscenes
@@ -131,7 +142,7 @@ def main():
     @jax.jit
     def unsorted_trace(o, d, act, nz):
         h, st = trace_packets(wa, o, d, packet=a.packet, active=act,
-                              max_steps=400_000 + nz)
+                              max_steps=400_000 + nz, fronts=a.fronts)
         return h.dist.sum(), st
 
     @jax.jit
@@ -141,10 +152,28 @@ def main():
         perm = jnp.argsort(key)
         os_, ds_, as_ = o[perm], d[perm], act[perm]
         h, st = trace_packets(wa, os_, ds_, packet=a.packet, active=as_,
-                              max_steps=400_000 + nz)
+                              max_steps=400_000 + nz, fronts=a.fronts)
         # inverse scatter (the frame needs hits back in lane order)
         inv = jnp.argsort(perm)
         return h.dist[inv].sum(), st
+
+    def make_seg_trace(seg):
+        @jax.jit
+        def seg_trace(o, d, act, nz):
+            lane = jnp.arange(o.shape[0], dtype=jnp.int32)
+            oct_ = ((o[:, 0] * 0).astype(jnp.int32)
+                    | (d[:, 0] >= 0).astype(jnp.int32)
+                    | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
+                    | ((d[:, 2] >= 0).astype(jnp.int32) << 2))
+            key = ((lane // seg) << 4) | jnp.where(act, oct_, 15)
+            perm = jnp.argsort(key, stable=True)
+            os_, ds_, as_ = o[perm], d[perm], act[perm]
+            h, st = trace_packets(wa, os_, ds_, packet=a.packet,
+                                  active=as_, max_steps=400_000 + nz,
+                                  fronts=a.fronts)
+            inv = jnp.argsort(perm)
+            return h.dist[inv].sum(), st
+        return seg_trace
 
     def timeit(fn, args, label):
         out = fn(*args, 0)
@@ -158,6 +187,8 @@ def main():
               f"sum={s:.3e}", flush=True)
         return dt
 
+    segs = [int(s) for s in a.segs.split(",") if s]
+    seg_fns = [(s, make_seg_trace(s)) for s in segs]
     for name, ii in (("tile-slab", ii_tile), ("frame-rand", ii_rand)):
         o, d, act = bounce_set(ii)
         live = int(np.asarray(act).sum())
@@ -165,6 +196,9 @@ def main():
         t_u = timeit(unsorted_trace, (o, d, act), f"{name} unsorted")
         t_s = timeit(sorted_trace, (o, d, act), f"{name} sorted  ")
         print(f"   speedup {t_u/t_s:.2f}x", flush=True)
+        for s, fn in seg_fns:
+            t_g = timeit(fn, (o, d, act), f"{name} seg{s:<6d}")
+            print(f"   speedup {t_u/t_g:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

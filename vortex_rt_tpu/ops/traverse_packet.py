@@ -65,7 +65,8 @@ from vortex_rt_tpu.accel import qbvh
 from vortex_rt_tpu.ops.traverse2 import Hits
 from vortex_rt_tpu.ops.traverse_wide import (
     WIDTH, WideArrays, _INT_MAX, _LEFT_BITS, _LEFT_BITS8, _LEFT_MASK,
-    _MISS, _at_pos, _bitcast_f32, _bitcast_i32, _rcp_lane, _row_layout,
+    _MISS, _ROW_WORDS, _at_pos, _bitcast_f32, _bitcast_i32,
+    _meta_bits_for, _rcp_lane, _row_layout,
 )
 
 # lax.sort child ordering instead of the explicit network (sweepable:
@@ -75,12 +76,30 @@ _LAX_SORT_DEFAULT = __import__("os").environ.get(
     "VORTEX_RT_LAX_SORT", "0") == "1"
 
 # descending sorting networks (far -> near) over the child-slot lanes;
-# comparator counts are optimal (5 for 4 inputs, 19 for 8 — Knuth 5.3.4)
+# comparator counts are optimal (5 for 4 inputs, 19 for 8 — Knuth 5.3.4);
+# 16 inputs use Batcher odd-even merge (63 comparators, correct by
+# construction — within 5% of the best known 60)
+def _batcher_pairs(n):
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return tuple(pairs)
+
+
 _SORT_NET = {
     4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
     8: ((0, 2), (1, 3), (4, 6), (5, 7), (0, 4), (1, 5), (2, 6), (3, 7),
         (0, 1), (2, 3), (4, 5), (6, 7), (2, 4), (3, 5), (1, 4), (3, 6),
         (1, 2), (3, 4), (5, 6)),
+    16: _batcher_pairs(16),
 }
 
 
@@ -287,18 +306,26 @@ def trace_packets(
         "anyhit_pred/alpha_ref require WideArrays.with_alpha tables"
     n_pool = int(wa.nodes.shape[0])
     w_ = int(wa.width)
-    assert w_ == 4 or flat, "8-wide packets require the flattened build"
+    assert w_ == 4 or flat, "8/16-wide packets require the flattened build"
     qoff, hoff, moff, loff, _ = _row_layout(w_)
-    lbits, nmask = (_LEFT_BITS, 7) if w_ == 4 else (_LEFT_BITS8, 15)
+    nrow = _ROW_WORDS[w_]
+    lbits, nmask = _meta_bits_for(w_)
     lmask = (1 << lbits) - 1
     # packed-stack word layouts:
-    #   width 4: ONE word  = left << 8 | count << 6 | 3x2b sorted slots
-    #   width 8: TWO words = (left << 4 | count, 7x3b sorted slots) —
-    #            7 deferred slots don't fit beside left in one i32
-    assert n_pool < (1 << (23 if w_ == 4 else 26)), \
+    #   width 4:  ONE word    = left << 8 | count << 6 | 3x2b sorted slots
+    #   width 8:  TWO words   = (left << 4 | count, 7x3b sorted slots) —
+    #             7 deferred slots don't fit beside left in one i32
+    #   width 16: THREE words = (left << 4 | count, slots 0..7 x4b,
+    #             slots 8..14 x4b)
+    assert n_pool < (1 << {4: 23, 8: 26, 16: 24}[w_]), \
         "node pool exceeds packed-stack id budget"
     n_leaf_rows = int(wa.tri_rows.shape[0])
     lmax = max(int(wa.max_leaf_tris), 1)
+    # fused rows carrying the alpha-test fields (with_alpha after fuse):
+    # the any-hit leaf step then reads uv/texture-window fields from the
+    # SAME gathered row instead of a second same-depth gather
+    fused_alpha = (wa.fused is not None
+                   and int(wa.fused.shape[1]) >= nrow + 24 * lmax)
     eps = jnp.float32(MT_EPSILON)
     # overflow-proof stack: one deferred-children word per descended
     # level (x fronts: each concurrent front can hold its own descend
@@ -352,8 +379,10 @@ def trace_packets(
             node=zi,
             stack=st0_, scount=zi,
         )
-    if w_ == 8:
+    if w_ >= 8:
         state.update(stack2=st0_)
+    if w_ == 16:
+        state.update(stack3=st0_)
     if not flat:
         state.update(
             inst=zi,
@@ -416,11 +445,11 @@ def trace_packets(
             node = jnp.clip(s["node"], 0, n_pool - 1)
             if wa.fused is not None:
                 # ONE gather serves both loop paths (node fields at the
-                # same offsets; this node's inline leaf slots after 32)
-                grow = wa.fused[node].T             # (32+16L, B)
-                rowt = grow[:32]
+                # same offsets; this node's inline leaf slots after nrow)
+                grow = wa.fused[node].T             # (nrow+16L, B)
+                rowt = grow[:nrow]
             else:
-                rowt = wa.nodes[node].T             # (32, B): tiny gather
+                rowt = wa.nodes[node].T             # (nrow, B): tiny gather
             meta = rowt[moff]
             kind = (meta >> 29).astype(jnp.int32)
             nch = ((meta >> lbits) & nmask).astype(jnp.int32)
@@ -527,7 +556,7 @@ def trace_packets(
                         | ((idxs[2] & 3) << 4))
                 stack, scount = st_push(stack, scount, word,
                                         descend & (cnt_def >= 1))
-            else:
+            elif w_ == 8:
                 cnt_def = jnp.clip(m - 1, 0, 7)
                 word0 = (left << 4) | cnt_def
                 word1 = idxs[0] & 7
@@ -535,6 +564,20 @@ def trace_packets(
                     word1 = word1 | ((idxs[j] & 7) << (3 * j))
                 push_mask = descend & (cnt_def >= 1)
                 stack2 = s["stack2"]
+                stack2, _ = st_push(stack2, scount, word1, push_mask)
+                stack, scount = st_push(stack, scount, word0, push_mask)
+            else:
+                cnt_def = jnp.clip(m - 1, 0, 15)
+                word0 = (left << 4) | cnt_def
+                word1 = idxs[0] & 15
+                for j in range(1, 8):
+                    word1 = word1 | ((idxs[j] & 15) << (4 * j))
+                word2 = idxs[8] & 15
+                for j in range(9, 15):
+                    word2 = word2 | ((idxs[j] & 15) << (4 * (j - 8)))
+                push_mask = descend & (cnt_def >= 1)
+                stack2, stack3 = s["stack2"], s["stack3"]
+                stack3, _ = st_push(stack3, scount, word2, push_mask)
                 stack2, _ = st_push(stack2, scount, word1, push_mask)
                 stack, scount = st_push(stack, scount, word0, push_mask)
 
@@ -567,7 +610,7 @@ def trace_packets(
             # all lmax triangles in one (L, B, P) op chain; the winner fold
             # below is lmax cheap (B, P) compare/select steps
             if wa.fused is not None:
-                lrowt = _bitcast_f32(grow[32:])     # this node's own slots
+                lrowt = _bitcast_f32(grow[nrow:])   # this node's own slots
             else:
                 lrowt = wa.tri_rows[
                     jnp.clip(left, 0, n_leaf_rows - 1)].T      # (C, B)
@@ -610,9 +653,14 @@ def trace_packets(
                 # interpolation and the point-sample texel address
                 # reproduce shade_point's op order exactly, so
                 # acceptance decisions match the suspension engine
-                # bit-for-bit.
-                arow = wa.alpha_rows[
-                    jnp.clip(left, 0, n_leaf_rows - 1)].T       # (8L, B)
+                # bit-for-bit.  With fused_alpha the fields ride the
+                # node-row gather already in hand (zero extra gathers at
+                # this chain depth).
+                if fused_alpha:
+                    arow = _bitcast_f32(grow[nrow + 16 * lmax:])  # (8L, B)
+                else:
+                    arow = wa.alpha_rows[
+                        jnp.clip(left, 0, n_leaf_rows - 1)].T   # (8L, B)
 
                 def af(k):  # alpha field k across slots -> (L, B, 1)
                     return jnp.stack([arow[8 * c + k]
@@ -715,7 +763,7 @@ def trace_packets(
                 stack = st_set_top(stack, s0)
                 _, stack, scount = st_pop(stack, scount,
                                           do_pop & (c_top <= 1))
-            else:
+            elif w_ == 8:
                 c_top = top & 15
                 slot = (st_top(stack2)
                         >> (3 * jnp.maximum(c_top - 1, 0))) & 7
@@ -724,6 +772,20 @@ def trace_packets(
                 s0 = jnp.where(partial, top - 1, top)
                 stack = st_set_top(stack, s0)
                 full_pop = do_pop & (c_top <= 1)
+                _, stack2, _ = st_pop(stack2, scount, full_pop)
+                _, stack, scount = st_pop(stack, scount, full_pop)
+            else:
+                c_top = top & 15
+                j = jnp.maximum(c_top - 1, 0)
+                slot = jnp.where(
+                    j < 8, (st_top(stack2) >> (4 * j)) & 15,
+                    (st_top(stack3) >> (4 * jnp.maximum(j - 8, 0))) & 15)
+                node_pop = (top >> 4) + slot
+                partial = do_pop & (c_top > 1)
+                s0 = jnp.where(partial, top - 1, top)
+                stack = st_set_top(stack, s0)
+                full_pop = do_pop & (c_top <= 1)
+                _, stack3, _ = st_pop(stack3, scount, full_pop)
                 _, stack2, _ = st_pop(stack2, scount, full_pop)
                 _, stack, scount = st_pop(stack, scount, full_pop)
             nxt = jnp.where(do_pop, node_pop, nxt)
@@ -746,8 +808,10 @@ def trace_packets(
             s.update(node=nxt, stack=stack, scount=scount,
                      best_t=best_t, bx=bx, by=by, tri=tri,
                      done=done, steps=s["steps"] + 1)
-            if w_ == 8:
+            if w_ >= 8:
                 s.update(stack2=stack2)
+            if w_ == 16:
+                s.update(stack3=stack3)
             if not flat:
                 s.update(inst=inst, lox=lox, loy=loy, loz=loz,
                          ldx=ldx_, ldy=ldy_, ldz=ldz_,
@@ -778,8 +842,10 @@ def trace_packets(
             s = dict(zip(keys, sl))
             act = ~s["done"]
             stack, scount = s["stack"], s["scount"]
-            if w_ == 8:
+            if w_ >= 8:
                 stack2 = s["stack2"]
+            if w_ == 16:
+                stack3 = s["stack3"]
             best_t, bx, by, tri = s["best_t"], s["bx"], s["by"], s["tri"]
             if mixed:
                 occ_pk = s["is_occ"][:, None]
@@ -790,14 +856,14 @@ def trace_packets(
             flat_idx = jnp.concatenate(
                 [jnp.clip(n, 0, n_pool - 1) for n in s["node"]])
             if wa.fused is not None:
-                grow_all = wa.fused[flat_idx].T        # (32+16L, F*B)
+                grow_all = wa.fused[flat_idx].T        # (nrow+16L, F*B)
             else:
-                grow_all = wa.nodes[flat_idx].T        # (32, F*B)
+                grow_all = wa.nodes[flat_idx].T        # (nrow, F*B)
 
             descend_f, next_f, want_pop_f = [], [], []
             int_ct = tri_ct = None
             for f in range(F):
-                rowt = grow_all[:32, f * b:(f + 1) * b]    # (32, B)
+                rowt = grow_all[:nrow, f * b:(f + 1) * b]  # (nrow, B)
                 on_f = s["f_on"][f] & act
                 meta = rowt[moff]
                 kind = (meta >> 29).astype(jnp.int32)
@@ -878,7 +944,7 @@ def trace_packets(
                             | ((idxs[2] & 3) << 4))
                     stack, scount = st_push(stack, scount, word,
                                             descend & (cnt_def >= 1))
-                else:
+                elif w_ == 8:
                     cnt_def = jnp.clip(m - 1, 0, 7)
                     word0 = (left << 4) | cnt_def
                     word1 = idxs[0] & 7
@@ -888,11 +954,25 @@ def trace_packets(
                     stack2, _ = st_push(stack2, scount, word1, push_mask)
                     stack, scount = st_push(stack, scount, word0,
                                             push_mask)
+                else:
+                    cnt_def = jnp.clip(m - 1, 0, 15)
+                    word0 = (left << 4) | cnt_def
+                    word1 = idxs[0] & 15
+                    for j in range(1, 8):
+                        word1 = word1 | ((idxs[j] & 15) << (4 * j))
+                    word2 = idxs[8] & 15
+                    for j in range(9, 15):
+                        word2 = word2 | ((idxs[j] & 15) << (4 * (j - 8)))
+                    push_mask = descend & (cnt_def >= 1)
+                    stack3, _ = st_push(stack3, scount, word2, push_mask)
+                    stack2, _ = st_push(stack2, scount, word1, push_mask)
+                    stack, scount = st_push(stack, scount, word0,
+                                            push_mask)
 
                 # ---- triangle leaf: single-front-shaped MT fold ----
                 if wa.fused is not None:
                     lrowt = _bitcast_f32(
-                        grow_all[32:, f * b:(f + 1) * b])
+                        grow_all[nrow:, f * b:(f + 1) * b])
                 else:
                     lrowt = wa.tri_rows[
                         jnp.clip(left, 0, n_leaf_rows - 1)].T
@@ -928,8 +1008,12 @@ def trace_packets(
                          < cnt[None, :, None])
                       & is_tri[None, :, None])
                 if anyhit_pred is not None:
-                    arow = wa.alpha_rows[
-                        jnp.clip(left, 0, n_leaf_rows - 1)].T
+                    if fused_alpha:
+                        arow = _bitcast_f32(
+                            grow_all[nrow + 16 * lmax:, f * b:(f + 1) * b])
+                    else:
+                        arow = wa.alpha_rows[
+                            jnp.clip(left, 0, n_leaf_rows - 1)].T
 
                     def af(k, arow=arow):
                         return jnp.stack([arow[8 * c + k]
@@ -1009,7 +1093,7 @@ def trace_packets(
                     stack = st_set_top(stack, s0)
                     _, stack, scount = st_pop(stack, scount,
                                               do_pop & (c_top <= 1))
-                else:
+                elif w_ == 8:
                     c_top = top & 15
                     slot = (st_top(stack2)
                             >> (3 * jnp.maximum(c_top - 1, 0))) & 7
@@ -1018,6 +1102,21 @@ def trace_packets(
                     s0 = jnp.where(partial, top - 1, top)
                     stack = st_set_top(stack, s0)
                     full_pop = do_pop & (c_top <= 1)
+                    _, stack2, _ = st_pop(stack2, scount, full_pop)
+                    _, stack, scount = st_pop(stack, scount, full_pop)
+                else:
+                    c_top = top & 15
+                    j = jnp.maximum(c_top - 1, 0)
+                    slot = jnp.where(
+                        j < 8, (st_top(stack2) >> (4 * j)) & 15,
+                        (st_top(stack3)
+                         >> (4 * jnp.maximum(j - 8, 0))) & 15)
+                    node_pop = (top >> 4) + slot
+                    partial = do_pop & (c_top > 1)
+                    s0 = jnp.where(partial, top - 1, top)
+                    stack = st_set_top(stack, s0)
+                    full_pop = do_pop & (c_top <= 1)
+                    _, stack3, _ = st_pop(stack3, scount, full_pop)
                     _, stack2, _ = st_pop(stack2, scount, full_pop)
                     _, stack, scount = st_pop(stack, scount, full_pop)
                 nxt[f] = jnp.where(do_pop, node_pop, nxt[f])
@@ -1049,8 +1148,10 @@ def trace_packets(
                      stack=stack, scount=scount,
                      best_t=best_t, bx=bx, by=by, tri=tri,
                      done=done, steps=s["steps"] + 1)
-            if w_ == 8:
+            if w_ >= 8:
                 s.update(stack2=stack2)
+            if w_ == 16:
+                s.update(stack3=stack3)
             return [s[k] for k in keys]
         step_fn = sub_step_mf if fronts > 1 else sub_step
 

@@ -76,6 +76,14 @@ _LEFT_MASK = (1 << _LEFT_BITS) - 1
 # (nchild needs 4 bits for 8 children; left budget drops to 25 bits = 32M)
 _LEFT_BITS8 = 25
 _LEFT_MASK8 = (1 << _LEFT_BITS8) - 1
+# meta word layout, width 16 (slot 38): left_first | nchild << 24 | kind << 29
+# (nchild needs 5 bits for 16 children; left budget 24 bits = 16M nodes)
+_LEFT_BITS16 = 24
+_LEFT_MASK16 = (1 << _LEFT_BITS16) - 1
+
+# physical words per packed node row (>= _row_layout base, padded so the
+# row gather stays 128-byte aligned for widths 4/8; 16-wide needs 40)
+_ROW_WORDS = {4: 32, 8: 32, 16: 40}
 
 
 def _row_layout(width: int):
@@ -84,8 +92,16 @@ def _row_layout(width: int):
     instance block for width 4, or inline leaf fields when fused)."""
     if width == 4:
         return 6, 10, 14, 15, 16
-    assert width == 8
-    return 6, 14, 22, 23, 24
+    if width == 8:
+        return 6, 14, 22, 23, 24
+    assert width == 16
+    return 6, 22, 38, 39, 40
+
+
+def _meta_bits_for(width: int):
+    """(left_bits, nchild_mask) of the packed meta word."""
+    return {4: (_LEFT_BITS, 7), 8: (_LEFT_BITS8, 15),
+            16: (_LEFT_BITS16, 31)}[width]
 
 
 # ---------------------------------------------------------------------------
@@ -174,11 +190,20 @@ class WideArrays:
             rows[:, 8 * c + 7] = ((tw[:, c].astype(np.int32) << 16)
                                   | th[:, c].astype(np.int32)).view(
                                       np.float32)
-        return dataclasses.replace(
+        out = dataclasses.replace(
             self, alpha_rows=jnp.asarray(rows), alpha_pool=jnp.asarray(pool))
+        if self.fused is not None:
+            # extend the fused rows with the alpha fields so the any-hit
+            # leaf step stays at ONE chained node-row gather (the alpha
+            # row would otherwise be a second gather at the same chain
+            # depth; the texel-pool gather that depends on it is then
+            # the only extra chain level — rule 33: chained gathers cost
+            # D x the one-gather time, so depth matters, not row width)
+            out = dataclasses.replace(out, fused=None).fuse()
+        return out
 
     def _meta_bits(self):
-        return (_LEFT_BITS, 7) if self.width == 4 else (_LEFT_BITS8, 15)
+        return _meta_bits_for(self.width)
 
     def fuse(self) -> "WideArrays":
         """Return a copy with the fused node+leaf table built (flat
@@ -200,8 +225,15 @@ class WideArrays:
         safe = jnp.clip(left, 0, rows.shape[0] - 1)
         leaf_part = jnp.where(is_tris[:, None], rows[safe],
                               jnp.zeros((n, 16 * lmax), jnp.uint32))
+        parts = [nodes, leaf_part]
+        if self.alpha_rows is not None:
+            # carry the alpha-test fields in the same row (see with_alpha)
+            arows = jax.lax.bitcast_convert_type(
+                jnp.asarray(self.alpha_rows), jnp.uint32)
+            parts.append(jnp.where(is_tris[:, None], arows[safe],
+                                   jnp.zeros((n, 8 * lmax), jnp.uint32)))
         return dataclasses.replace(
-            self, fused=jnp.concatenate([nodes, leaf_part], axis=1))
+            self, fused=jnp.concatenate(parts, axis=1))
 
     # ---- host-side unpacked views (tests / debugging) ----
     @property
@@ -259,9 +291,9 @@ class WideArrays:
     @staticmethod
     def from_scene(sb: SceneBuffers, width: int = 4) -> "WideArrays":
         flat = bool(getattr(sb, "flat", False))
-        assert width in (4, 8), f"unsupported BVH width {width}"
+        assert width in (4, 8, 16), f"unsupported BVH width {width}"
         assert width == 4 or flat, \
-            "8-wide nodes require the flattened build (RTConfig.flatten)"
+            "8/16-wide nodes require the flattened build (RTConfig.flatten)"
         tri_bits = 0
         if flat:
             # flattened scene: ONE world-space BLAS, no TLAS/instance
@@ -358,12 +390,12 @@ class WideArrays:
         leaf_row_of = np.zeros(n, np.int64)
         leaf_row_of[leaf_ids] = np.arange(len(leaf_ids))
         left = np.where(is_leaf, leaf_row_of, left)
-        lb = _LEFT_BITS if width == 4 else _LEFT_BITS8
+        lb = _meta_bits_for(width)[0]
         assert (left >= 0).all() and (left < (1 << lb)).all(), \
             f"node/leaf pool exceeds {lb}-bit left_first budget"
 
         qoff, hoff, moff, loff, _ = _row_layout(width)
-        nodes = np.zeros((n, 32), np.uint32)
+        nodes = np.zeros((n, _ROW_WORDS[width]), np.uint32)
         nodes[:, 0:3] = origin.view(np.uint32)
         nodes[:, 3:6] = scale.view(np.uint32)
         for c in range(width):

@@ -200,10 +200,13 @@ class RTConfig:
             # auto: 8-wide needs the flattened build's packed leaf ids;
             # suspension/TLAS pipelines keep the 4-wide instance rows
             object.__setattr__(self, "bvh_width", 8 if self.flatten else 4)
-        assert self.bvh_width in (4, 8), \
-            f"bvh_width must be 4 or 8, got {self.bvh_width}"
+        assert self.bvh_width in (4, 8, 16), \
+            f"bvh_width must be 4, 8 or 16, got {self.bvh_width}"
         assert self.bvh_width == 4 or self.flatten, \
-            "bvh_width=8 requires flatten=True (no instance-node rows)"
+            "bvh_width>4 requires flatten=True (no instance-node rows)"
+        # 16 is an experimental packet-engine capability (host builds
+        # only; measured -10% gathered rows at config-3 scale for 2x
+        # slab compute — not adopted, see ARCHITECTURE.md round 5)
         assert self.max_leaf_tris >= 1
 
     def replace(self, **kw: Any) -> "RTConfig":
