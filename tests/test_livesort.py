@@ -111,3 +111,28 @@ def test_compact_div_trace_bit_identical(rng):
                                       np.asarray(getattr(h2, k)))
     np.testing.assert_array_equal(np.asarray(hm4.dist),
                                   np.asarray(hm2.dist))
+
+
+def test_bounce_sort_seg_frame_bit_identical(rng):
+    """RTConfig.bounce_sort_seg (segmented direction-octant regrouping
+    of bounce waves, round 5): bit-identical frames at any segment size.
+    MEASURED-NEGATIVE knob (default off): at the production config-3
+    shape every segment size ran 0.7-0.8x the unsorted wave and RAISED
+    the straggler-max step count (tools/exp_sort.py --segs, extending
+    rule 23's global-octant kill) — kept as the recorded measurement.
+    The identity argument is packet composition only, same as live_sort
+    above."""
+    from vortex_rt_tpu.engine.wavefront import WavefrontRenderer
+    from vortex_rt_tpu.models.scene import Camera  # noqa: F401
+
+    sb = _cornell_sb()
+    cam = Scene.framing_camera(sb, 45.0, 1.0)
+    params = RenderParams(max_depth=3, spp=2, shadow=True, pathtrace=True)
+    imgs = []
+    for seg in (0, 256, 1024):
+        r = WavefrontRenderer.from_buffers(
+            sb, RTConfig(flatten=True, bounce_sort_seg=seg))
+        img, _ = r.render(cam, params, 48, 48)
+        imgs.append(np.asarray(img))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[0], imgs[2])

@@ -318,7 +318,7 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
                    alive, max_depth, shadow, bilinear, packet, chunk,
                    tune_nonce, slab, stage_limit=None, collect_stats=False,
                    trace_fn=None, bounce_packet=None, shadow_packet=None,
-                   pallas_waves="off", bounce_fronts=1):
+                   pallas_waves="off", bounce_fronts=1, bounce_sort_seg=0):
     """The bounce pipeline over one lane set (trace + shadow occlusion +
     shade + spawn, max_depth waves).  Works at any lane count: the
     slab-major frame maps it over VMEM-sized groups (every intermediate
@@ -403,9 +403,27 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
     # true closest hit — composition-independent results (same argument
     # as rule 25's whole-packet moves; verified by tests/test_livesort).
     live_sort = _LIVE_SORT_DEFAULT and trace_fn is None
+    # bounce_sort_seg > 0: SEGMENTED direction-octant regrouping of
+    # incoherent (k>0) waves — stable-sort lanes by
+    # (lane//seg) << 4 | octant (dead lanes keyed 15, i.e. last in
+    # their segment) before packetization, inverse-scatter hits after.
+    # Packets become direction-pure while origins stay within a seg-lane
+    # tile window: the middle ground rule 23's GLOBAL octant sort (which
+    # destroyed origin locality) never tried; dead-lane grouping also
+    # buys live-first packing at segment granularity.  Bit-identical by
+    # the packet-composition argument above.
+    sort_seg = (int(bounce_sort_seg) if trace_fn is None else 0)
 
-    def _perm_trace(fn, act, args6, t_clamp, **kw):
-        perm = jnp.argsort(~act)
+    def _seg_key(tdx, tdy, tdz, act, r_):
+        lane = jnp.arange(r_, dtype=jnp.int32)
+        oct_ = ((tdx >= 0).astype(jnp.int32)
+                | ((tdy >= 0).astype(jnp.int32) << 1)
+                | ((tdz >= 0).astype(jnp.int32) << 2))
+        return ((lane // sort_seg) << 4) | jnp.where(act, oct_, 15)
+
+    def _perm_trace(fn, act, args6, t_clamp, perm=None, **kw):
+        if perm is None:
+            perm = jnp.argsort(~act)
         res = fn(*[a[perm] for a in args6], act[perm],
                  None if t_clamp is None else t_clamp[perm], **kw)
         d_, bx_, by_, tr_, in_, st_, ts_ = res
@@ -423,6 +441,13 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
 
         def _trace(tox, toy, toz, tdx, tdy, tdz, act, t_clamp=None,
                    occl=False, stats=False, pk=None):
+            if sort_seg > 0 and bounce > 0 and not stats \
+                    and r % sort_seg == 0:
+                key = _seg_key(tdx, tdy, tdz, act, r)
+                return _perm_trace(
+                    _trace_raw, act, (tox, toy, toz, tdx, tdy, tdz),
+                    t_clamp, perm=jnp.argsort(key, stable=True),
+                    occl=occl, pk=pk)
             if live_sort and bounce > 0 and not stats:
                 return _perm_trace(
                     _trace_raw, act, (tox, toy, toz, tdx, tdy, tdz),
@@ -602,11 +627,22 @@ def _wave_pipeline(wa, sa, ctx, table, light, lanes, pix, samp,
             n_dz = jnp.where(spawn, co1.sdz, dz)
             # (spawned-ray counting happens at the next iteration's top,
             # exactly as in the sequential pipeline)
-            if live_sort:
-                # live-first packing per half (the occl_split boundary
-                # stays packet-aligned at r); unpermuted below
-                perm_s = jnp.argsort(~sh_act)
-                perm_b = jnp.argsort(~spawn)
+            if (sort_seg > 0 and r % sort_seg == 0) or live_sort:
+                # permuted packing per half (the occl_split boundary
+                # stays packet-aligned at r); unpermuted below.  In
+                # sort_seg mode the bounce half gets the segmented
+                # octant key (shadow directions point at one light and
+                # are already coherent — only dead-lane grouping, which
+                # the segment key also provides via the act term);
+                # live_sort mode keeps the round-4 liveness packing.
+                if sort_seg > 0 and r % sort_seg == 0:
+                    perm_s = jnp.argsort(
+                        _seg_key(sdx, sdy, sdz, sh_act, r), stable=True)
+                    perm_b = jnp.argsort(
+                        _seg_key(n_dx, n_dy, n_dz, spawn, r), stable=True)
+                else:
+                    perm_s = jnp.argsort(~sh_act)
+                    perm_b = jnp.argsort(~spawn)
 
                 def halves(s_half, b_half):
                     return jnp.concatenate([s_half[perm_s],
@@ -704,7 +740,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                bounce_packet: Optional[int] = None,
                shadow_packet: Optional[int] = None,
                pallas_waves: str = "off",
-               bounce_fronts: int = 1):
+               bounce_fronts: int = 1, bounce_sort_seg: int = 0):
     """Traceable wavefront frame over ``n_pix`` pixels (``pix_offset``
     must be a whole number of rows for the tiled layout).  Returns
     ((n_pix, 3) radiance in row-major pixel order, rays, steps).  Used by
@@ -790,7 +826,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                 stage_limit=stage_limit, collect_stats=collect_stats,
                 trace_fn=trace_fn, bounce_packet=bounce_packet,
                 shadow_packet=shadow_packet, pallas_waves=pallas_waves,
-                bounce_fronts=bounce_fronts)
+                bounce_fronts=bounce_fronts, bounce_sort_seg=bounce_sort_seg)
             return rr, rg, rb, rays, steps, probe, wstats
 
         gis = jnp.arange(g, dtype=jnp.int32)
@@ -875,7 +911,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         stage_limit=stage_limit, collect_stats=collect_stats,
         trace_fn=trace_fn, bounce_packet=bounce_packet,
         shadow_packet=shadow_packet, pallas_waves=pallas_waves,
-        bounce_fronts=bounce_fronts)
+        bounce_fronts=bounce_fronts, bounce_sort_seg=bounce_sort_seg)
 
     # ---- resolve: rays never moved lanes, so pool order IS (pixel, spp)
     # order; tile-major lanes resolve with a reshape+transpose.  Channels
@@ -903,7 +939,7 @@ def frame_body(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
                           "bilinear", "bounce_packet", "shadow_packet",
-                          "pallas_waves", "bounce_fronts", "slab"))
+                          "pallas_waves", "bounce_fronts", "slab", "bounce_sort_seg"))
 def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      light: LightArrays, width: int, height: int,
                      max_depth: int = 2, spp: int = 1, chunk: int = 4096,
@@ -912,7 +948,8 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                      tile_w: int = 16, tile_h: int = 16,
                      bilinear: bool = False, bounce_packet=None,
                      shadow_packet=None, pallas_waves: str = "off",
-                     bounce_fronts: int = 1, slab: int = 32768):
+                     bounce_fronts: int = 1, slab: int = 32768,
+                 bounce_sort_seg: int = 0):
     """Full frame -> ((H, W, 3) radiance, rays traced, traversal steps)."""
     img, rays, steps = frame_body(
         wa, sa, cam, light, width, height, width * height, 0,
@@ -920,7 +957,8 @@ def render_wavefront(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
         bilinear=bilinear, bounce_packet=bounce_packet,
         shadow_packet=shadow_packet, pallas_waves=pallas_waves,
-        bounce_fronts=bounce_fronts, slab=slab)
+        bounce_fronts=bounce_fronts, slab=slab,
+        bounce_sort_seg=bounce_sort_seg)
     return (img.reshape(3, height, width).transpose(1, 2, 0),
             rays, steps)
 
@@ -929,14 +967,16 @@ def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
                  chunk=4096, table=None, seed=0, packet=128,
                  tile_w=16, tile_h=16, shadow=False, bilinear=False,
                  bounce_packet=None, shadow_packet=None,
-                 pallas_waves="off", bounce_fronts=1, slab=32768):
+                 pallas_waves="off", bounce_fronts=1, slab=32768,
+                 bounce_sort_seg=0):
     """Host wrapper around render_wavefront (kept as the stable API)."""
     return render_wavefront(
         wa, sa, cam, light, width, height, max_depth=max_depth, spp=spp,
         chunk=chunk, table=table, seed=seed, packet=packet,
         shadow=shadow, tile_w=tile_w, tile_h=tile_h, bilinear=bilinear,
         bounce_packet=bounce_packet, shadow_packet=shadow_packet,
-        pallas_waves=pallas_waves, bounce_fronts=bounce_fronts, slab=slab)
+        pallas_waves=pallas_waves, bounce_fronts=bounce_fronts, slab=slab,
+        bounce_sort_seg=bounce_sort_seg)
 
 
 @partial(jax.jit,
@@ -944,7 +984,7 @@ def render_frame(wa, sa, cam, light, width, height, max_depth=2, spp=1,
                           "table", "packet", "shadow", "tile_w", "tile_h",
                           "n_frames", "tune_nonce", "bounce_packet",
                           "shadow_packet", "pallas_waves",
-                          "bounce_fronts", "slab"))
+                          "bounce_fronts", "slab", "bounce_sort_seg"))
 def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_frames: int = 16, seed0=0,
@@ -954,7 +994,8 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  tile_w: int = 16, tile_h: int = 16,
                  tune_nonce: int = 0, bounce_packet=None,
                  shadow_packet=None, pallas_waves: str = "off",
-                 bounce_fronts: int = 1, slab: int = 32768):
+                 bounce_fronts: int = 1, slab: int = 32768,
+                 bounce_sort_seg: int = 0):
     """Render ``n_frames`` frames (seeds seed0..seed0+n-1) inside ONE XLA
     program, reduced to ONE i32: the exact total ray count (plus an
     always-zero anti-DCE guard derived from the radiance checksum).  No
@@ -989,7 +1030,7 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce,
             bounce_packet=bounce_packet, shadow_packet=shadow_packet,
             pallas_waves=pallas_waves, bounce_fronts=bounce_fronts,
-            slab=slab)
+            slab=slab, bounce_sort_seg=bounce_sort_seg)
         return img.sum(), rays, steps
 
     seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
@@ -1002,7 +1043,7 @@ def render_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
                           "n_passes", "bounce_packet", "shadow_packet",
-                          "bounce_fronts", "slab"))
+                          "bounce_fronts", "slab", "bounce_sort_seg"))
 def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  n_passes: int = 4, seed0=0,
@@ -1011,7 +1052,7 @@ def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  packet: int = 128, shadow: bool = False,
                  tile_w: int = 16, tile_h: int = 16, bounce_packet=None,
                  shadow_packet=None, bounce_fronts: int = 1,
-                 slab: int = 32768):
+                 slab: int = 32768, bounce_sort_seg: int = 0):
     """Progressive accumulation: average ``n_passes`` frames (stratified
     over spp*n_passes total samples per pixel) inside ONE XLA program.
     Returns ((H, W, 3) image, total rays, total steps).
@@ -1033,7 +1074,8 @@ def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             seed=seed, packet=packet, shadow=shadow,
             tile_w=tile_w, tile_h=tile_h, total_spp=total,
             bounce_packet=bounce_packet, shadow_packet=shadow_packet,
-            bounce_fronts=bounce_fronts, slab=slab)
+            bounce_fronts=bounce_fronts, slab=slab,
+            bounce_sort_seg=bounce_sort_seg)
         a_img, a_rays, a_steps = acc
         return (a_img + img, a_rays + rays, a_steps + steps), None
 
@@ -1050,7 +1092,7 @@ def render_accum(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                           "table", "packet", "shadow", "tile_w", "tile_h",
                           "n_frames", "tune_nonce", "stage_limit",
                           "bounce_packet", "shadow_packet",
-                          "bounce_fronts", "slab"))
+                          "bounce_fronts", "slab", "bounce_sort_seg"))
 def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                          light: LightArrays, width: int, height: int,
                          n_frames: int = 8, seed0=0,
@@ -1060,7 +1102,8 @@ def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                          tile_w: int = 16, tile_h: int = 16,
                          tune_nonce: int = 0, stage_limit: int = 0,
                          bounce_packet=None, shadow_packet=None,
-                         bounce_fronts: int = 1, slab: int = 32768):
+                         bounce_fronts: int = 1, slab: int = 32768,
+                 bounce_sort_seg: int = 0):
     """Stage-truncated burst for wall-clock attribution: same scalar-only
     shape as render_burst but the frame stops after ``stage_limit`` (0 =
     camera only; 1+3k / 2+3k / 3+3k = bounce-k trace / shadow / shade).
@@ -1077,7 +1120,7 @@ def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
             tile_w=tile_w, tile_h=tile_h, tune_nonce=tune_nonce,
             stage_limit=stage_limit, bounce_packet=bounce_packet,
             shadow_packet=shadow_packet, bounce_fronts=bounce_fronts,
-            slab=slab)
+            slab=slab, bounce_sort_seg=bounce_sort_seg)
         return img.sum(), rays, steps
 
     seeds = jnp.asarray(seed0) + jnp.arange(n_frames, dtype=jnp.int32)
@@ -1090,7 +1133,7 @@ def render_profile_burst(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
          static_argnames=("width", "height", "max_depth", "spp", "chunk",
                           "table", "packet", "shadow", "tile_w", "tile_h",
                           "bounce_packet", "shadow_packet",
-                          "bounce_fronts", "slab"))
+                          "bounce_fronts", "slab", "bounce_sort_seg"))
 def render_stats(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  light: LightArrays, width: int, height: int,
                  max_depth: int = 2, spp: int = 1, chunk: int = 4096,
@@ -1098,7 +1141,8 @@ def render_stats(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
                  packet: int = 128, shadow: bool = False,
                  tile_w: int = 16, tile_h: int = 16,
                  bounce_packet=None, shadow_packet=None,
-                 bounce_fronts: int = 1, slab: int = 32768):
+                 bounce_fronts: int = 1, slab: int = 32768,
+                 bounce_sort_seg: int = 0):
     """One frame with whole-frame PacketStats: returns (rays, steps,
     {wave: PacketStats}) — the full-frame RTU PerfStats analog
     (rt_unit.h:15-45), per wave (primary / shadow / bounce-k)."""
@@ -1107,7 +1151,8 @@ def render_stats(wa: WideArrays, sa: ShadeArrays, cam: CameraArrays,
         max_depth=max_depth, spp=spp, chunk=chunk, table=table, seed=seed,
         packet=packet, shadow=shadow, tile_w=tile_w, tile_h=tile_h,
         bounce_packet=bounce_packet, shadow_packet=shadow_packet,
-        bounce_fronts=bounce_fronts, slab=slab, collect_stats=True)
+        bounce_fronts=bounce_fronts, slab=slab,
+        bounce_sort_seg=bounce_sort_seg, collect_stats=True)
     return rays + (img.sum() * jnp.float32(1e-30)).astype(jnp.int32), \
         steps, wstats
 
@@ -1317,6 +1362,7 @@ class WavefrontRenderer:
             bounce_packet=self.config.bounce_packet,
             shadow_packet=self.config.shadow_packet,
             bounce_fronts=self.config.bounce_fronts,
+            bounce_sort_seg=self.config.bounce_sort_seg,
             slab=self.config.slab,
             pallas_waves=self.config.pallas_waves)
         return np.asarray(img), int(nrays)
@@ -1355,6 +1401,7 @@ class WavefrontRenderer:
             bounce_packet=self.config.bounce_packet,
             shadow_packet=self.config.shadow_packet,
             bounce_fronts=self.config.bounce_fronts,
+            bounce_sort_seg=self.config.bounce_sort_seg,
             slab=self.config.slab,
             pallas_waves=self.config.pallas_waves)
         if rays_only:
@@ -1392,6 +1439,7 @@ class WavefrontRenderer:
             bounce_packet=self.config.bounce_packet,
             shadow_packet=self.config.shadow_packet,
             bounce_fronts=self.config.bounce_fronts,
+            bounce_sort_seg=self.config.bounce_sort_seg,
             slab=self.config.slab)
         out = dict(rays=int(rays), steps=int(steps),
                    packet_size=self.config.packet_size)
@@ -1441,6 +1489,7 @@ class WavefrontRenderer:
                 bounce_packet=self.config.bounce_packet,
                 shadow_packet=self.config.shadow_packet,
                 bounce_fronts=self.config.bounce_fronts,
+            bounce_sort_seg=self.config.bounce_sort_seg,
                 slab=self.config.slab))
 
         stage_ids = []
@@ -1531,6 +1580,7 @@ class WavefrontRenderer:
             bounce_packet=self.config.bounce_packet,
             shadow_packet=self.config.shadow_packet,
             bounce_fronts=self.config.bounce_fronts,
+            bounce_sort_seg=self.config.bounce_sort_seg,
             slab=self.config.slab)
         return np.asarray(img), int(nrays)
 

@@ -132,6 +132,20 @@ class RTConfig:
                                 # 1080p: 2.39 s -> 1.95 s/frame with
                                 # bp=16 f2; 262144/524288 REGRESS).
                                 # 0 = auto: env VORTEX_RT_SLAB or 131072
+    bounce_sort_seg: int = -1   # SEGMENTED direction-octant regrouping
+                                # of incoherent (k>0) bounce waves:
+                                # stable-sort wave lanes by
+                                # (lane//seg) << 4 | octant (dead lanes
+                                # keyed last) before packetization, and
+                                # scatter hits back after.  Packets
+                                # become direction-pure while origins
+                                # stay within an N-lane tile window —
+                                # the middle ground rule 23's GLOBAL
+                                # octant sort (which destroys origin
+                                # locality) never tried.  Bit-identical
+                                # (packet composition only).  0 = off;
+                                # -1 = auto: env VORTEX_RT_SORT_SEG or
+                                # the measured round-5 default
     shadow_packet: Optional[int] = None  # packet size for shadow
                                 # occlusion waves; None follows each
                                 # bounce's wave packet (primary-size at
@@ -196,6 +210,11 @@ class RTConfig:
             object.__setattr__(
                 self, "slab",
                 max(int(os.environ.get("VORTEX_RT_SLAB", "131072")), 1024))
+        if self.bounce_sort_seg < 0:
+            import os
+            object.__setattr__(
+                self, "bounce_sort_seg",
+                int(os.environ.get("VORTEX_RT_SORT_SEG", "0")))
         if self.bvh_width == 0:
             # auto: 8-wide needs the flattened build's packed leaf ids;
             # suspension/TLAS pipelines keep the 4-wide instance rows
