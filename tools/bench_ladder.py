@@ -276,7 +276,9 @@ def _lbvh_build(sb, cfg):
     if method == "ploc":
         from vortex_rt_tpu.accel.ploc import build_wide_ploc
         return build_wide_ploc(sb, leaf_size=cfg.max_leaf_tris,
-                               width=cfg.bvh_width)
+                               width=cfg.bvh_width,
+                               radius=int(os.environ.get(
+                                   "VORTEX_RT_PLOC_RADIUS", "16")))
     from vortex_rt_tpu.accel.lbvh import build_wide_from_tris
     return build_wide_from_tris(sb, leaf_size=cfg.max_leaf_tris,
                                 width=cfg.bvh_width)

@@ -193,9 +193,9 @@ def main():
         w2 = fba * (ld_x * qx + ld_y * qy + ld_z * qz)
         t = fba * (e2x * qx + e2y * qy + e2z * qz)
         ok = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1) & (t > 1e-6)
-        tbest = jnp.min(jnp.where(ok, t, 3e38), axis=0)
-        nxt = node.at[:b].set(
-            (node[:b] + (tbest < 3e38).astype(jnp.int32)) % n_pool)
+        tbest = jnp.min(jnp.where(ok, t, 3e38), axis=0)      # (B, P)
+        hit_any = jnp.any(tbest < 3e38, axis=1).astype(jnp.int32)
+        nxt = node.at[:b].set((node[:b] + hit_any) % n_pool)
         return nxt, acc + tbest.sum(), ex
 
     def sort_body(node, acc, ex):

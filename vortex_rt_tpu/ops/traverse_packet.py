@@ -155,6 +155,24 @@ _UNROLL_DEFAULT = int(__import__("os").environ.get(
 # below): 4 = round widths B/4, B/16, ...; 2 = B/2, B/4, B/8, ...
 _COMPACT_DIV_DEFAULT = max(int(__import__("os").environ.get(
     "VORTEX_RT_COMPACT_DIV", "4")), 2)
+
+# conservative bfloat16 child slab test (VORTEX_RT_BF16_SLAB): the slab
+# arithmetic is ~43 us of the ~155 us production iteration (rule 39,
+# tools/exp_body.py) and is memory-shaped — bf16 halves its bytes.
+# Soundness: the test runs in NODE-LOCAL coordinates (ray origin minus
+# node origin, subtracted in f32 per packet — this kills the
+# catastrophic-cancellation hazard of bf16-ing world coordinates), box
+# corners q*2^e are EXACT bf16 products (q <= 256 fits the 8-bit
+# significand, scale is a power of two), boxes are widened by +-1
+# quantization LSB (an ABSOLUTE pad covering the one rounding of the
+# local subtraction near the node) and tmin/tmax get a 2^-6 RELATIVE
+# pad (covering the multiply/cast roundings, error <= ~5*2^-8 of the
+# value).  The visit set becomes a strict SUPERSET of the f32 walk's,
+# so the closest hit is BIT-IDENTICAL (Moller-Trumbore stays f32);
+# only step counts change.  Same argument as the build-time outward
+# quantization (accel.qbvh) — the box was never exact to begin with.
+_BF16_SLAB_DEFAULT = __import__("os").environ.get(
+    "VORTEX_RT_BF16_SLAB", "0") == "1"
 from vortex_rt_tpu.utils.config import LARGE_FLOAT, MT_EPSILON
 
 
@@ -198,6 +216,7 @@ def trace_packets(
     alpha_ref: Optional[float] = None,
     anyhit_pred=None,
     fronts: int = 1,
+    bf16_slab: Optional[bool] = None,
 ) -> Tuple[Hits, jnp.ndarray]:
     """Closest-hit trace of (R, 3) rays in packets of ``packet`` lanes.
 
@@ -295,6 +314,9 @@ def trace_packets(
     if unroll is None:
         unroll = _UNROLL_DEFAULT
     unroll = max(int(unroll), 1)
+    if bf16_slab is None:
+        bf16_slab = _BF16_SLAB_DEFAULT
+    bf16_slab = bool(bf16_slab)  # frame-agnostic: node-local coords
     flat = wa.num_tlas == 0 and wa.tri_bits > 0
     fronts = max(int(fronts), 1) if flat else 1
     if anyhit_pred is None and alpha_ref is not None:
@@ -342,6 +364,85 @@ def trace_packets(
               else l2(active))
     limit = (jnp.full((b, p), LARGE_FLOAT) if t_max is None
              else l2(t_max.astype(jnp.float32)))
+
+    def _slab_test(rowt, rox, roy, roz, rix, riy, riz, best_t):
+        """Child slab test over all WIDTH children: (hc (C,B,P) bool,
+        entry tmin (C,B,P) f32 for child ordering).  One body for both
+        loop variants so the subgraph shapes match (bit-stability rule,
+        see sub_step_mf docstring); f32 by default, conservative bf16
+        when ``bf16_slab`` (visit superset — hits identical)."""
+        gx, gy, gz = (_bitcast_f32(rowt[0]), _bitcast_f32(rowt[1]),
+                      _bitcast_f32(rowt[2]))            # (B,)
+        sx, sy, sz = (_bitcast_f32(rowt[3]), _bitcast_f32(rowt[4]),
+                      _bitcast_f32(rowt[5]))
+        qlc = jnp.stack([rowt[qoff + c] for c in range(w_)])     # (C, B)
+        qhc = jnp.stack([rowt[hoff + c] for c in range(w_)])
+        if not bf16_slab:
+            def corner(q, sh, g, sc):  # (C, B) packed bytes -> (C, B, 1)
+                f = ((q >> sh) & 255).astype(jnp.float32) if sh else \
+                    (q & 255).astype(jnp.float32)
+                return (g[None] + f * sc[None])[:, :, None]
+
+            lx = corner(qlc, 0, gx, sx); hx = corner(qhc, 0, gx, sx)
+            ly = corner(qlc, 8, gy, sy); hy = corner(qhc, 8, gy, sy)
+            lz = corner(qlc, 16, gz, sz); hz = corner(qhc, 16, gz, sz)
+            t1x = (lx - rox[None]) * rix[None]
+            t2x = (hx - rox[None]) * rix[None]
+            t1y = (ly - roy[None]) * riy[None]
+            t2y = (hy - roy[None]) * riy[None]
+            t1z = (lz - roz[None]) * riz[None]
+            t2z = (hz - roz[None]) * riz[None]
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z))
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z))
+            hc = (tmax >= tmin) & (tmax > 0.0) & (tmin < best_t[None])
+            return hc, tmin
+        # ---- conservative bf16 variant (see _BF16_SLAB_DEFAULT) ----
+        bf = jnp.bfloat16
+        pad = jnp.asarray(2.0 ** -6, bf)
+        # node-local ray origin: f32 subtract (cancellation-safe), then
+        # cast — 3 (B,P) ops, vs bf16-ing world coords which would need
+        # an absolute pad proportional to |origin|
+        rlx = (rox - gx[:, None]).astype(bf)
+        rly = (roy - gy[:, None]).astype(bf)
+        rlz = (roz - gz[:, None]).astype(bf)
+        rixb, riyb, rizb = (rix.astype(bf), riy.astype(bf),
+                            riz.astype(bf))
+        sxb, syb, szb = sx.astype(bf), sy.astype(bf), sz.astype(bf)
+
+        def cornerb(q, sh, sc, dlt):
+            # +-1 LSB widen; q*2^e is EXACT in bf16 (q+dlt in -1..256,
+            # 8-bit significand; scale a power of two)
+            f = (((q >> sh) & 255) if sh else (q & 255)).astype(bf)
+            return ((f + bf(dlt)) * sc[None])[:, :, None]
+
+        lx = cornerb(qlc, 0, sxb, -1.0); hx = cornerb(qhc, 0, sxb, 1.0)
+        ly = cornerb(qlc, 8, syb, -1.0); hy = cornerb(qhc, 8, syb, 1.0)
+        lz = cornerb(qlc, 16, szb, -1.0); hz = cornerb(qhc, 16, szb, 1.0)
+        t1x = (lx - rlx[None]) * rixb[None]
+        t2x = (hx - rlx[None]) * rixb[None]
+        t1y = (ly - rly[None]) * riyb[None]
+        t2y = (hy - rly[None]) * riyb[None]
+        t1z = (lz - rlz[None]) * rizb[None]
+        t2z = (hz - rlz[None]) * rizb[None]
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z))
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z))
+        # relative pads cover the multiply/cast roundings (<= ~5*2^-8)
+        tmin_c = tmin - jnp.abs(tmin) * pad
+        tmax_c = tmax + jnp.abs(tmax) * pad
+        btb = best_t.astype(bf)
+        thr = jnp.where(jnp.isfinite(btb),
+                        btb + jnp.abs(btb) * pad, btb)
+        hc = (tmax_c >= tmin_c) & (tmax_c > jnp.asarray(0.0, bf)) \
+            & (tmin_c < thr[None])
+        return hc, tmin_c.astype(jnp.float32)
 
     zi = jnp.zeros(b, jnp.int32)
     if array_stack:
@@ -474,38 +575,12 @@ def trace_packets(
 
             # ---- internal: batched packet-vs-children slab tests ----
             # all WIDTH children in one (C, B, P) op chain (op count, not
-            # FLOPs, bounds the loop body — see module docstring)
-            gx, gy, gz = (_bitcast_f32(rowt[0]), _bitcast_f32(rowt[1]),
-                          _bitcast_f32(rowt[2]))            # (B,)
-            sx, sy, sz = (_bitcast_f32(rowt[3]), _bitcast_f32(rowt[4]),
-                          _bitcast_f32(rowt[5]))
-            qlc = jnp.stack([rowt[qoff + c] for c in range(w_)])     # (C, B)
-            qhc = jnp.stack([rowt[hoff + c] for c in range(w_)])
-
-            def corner(q, sh, g, sc):  # (C, B) packed bytes -> (C, B, 1)
-                f = ((q >> sh) & 255).astype(jnp.float32) if sh else \
-                    (q & 255).astype(jnp.float32)
-                return (g[None] + f * sc[None])[:, :, None]
-
-            lx = corner(qlc, 0, gx, sx); hx = corner(qhc, 0, gx, sx)
-            ly = corner(qlc, 8, gy, sy); hy = corner(qhc, 8, gy, sy)
-            lz = corner(qlc, 16, gz, sz); hz = corner(qhc, 16, gz, sz)
-            t1x = (lx - rox[None]) * rix[None]
-            t2x = (hx - rox[None]) * rix[None]
-            t1y = (ly - roy[None]) * riy[None]
-            t2y = (hy - roy[None]) * riy[None]
-            t1z = (lz - roz[None]) * riz[None]
-            t2z = (hz - roz[None]) * riz[None]
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z))
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z))
+            # FLOPs, bounds the loop body — see module docstring).
             # per-ray prune is sound here because the overflow-proof
             # stack guarantees no trail restarts (see module docstring);
             # dead/retired lanes fail tmin < best_t (= -LARGE_FLOAT)
-            hc = (tmax >= tmin) & (tmax > 0.0) & (tmin < s["best_t"][None])
+            hc, tmin = _slab_test(rowt, rox, roy, roz, rix, riy, riz,
+                                  s["best_t"])
             any_hit = (jnp.any(hc, axis=2)
                        & (jnp.arange(w_, dtype=jnp.int32)[:, None]
                           < nch[None]))                     # (C, B)
@@ -880,36 +955,8 @@ def trace_packets(
 
                 # ---- internal: batched slab tests (single-front form,
                 # pruned against the front-sequential best_t) ----
-                gx, gy, gz = (_bitcast_f32(rowt[0]), _bitcast_f32(rowt[1]),
-                              _bitcast_f32(rowt[2]))
-                sx, sy, sz = (_bitcast_f32(rowt[3]), _bitcast_f32(rowt[4]),
-                              _bitcast_f32(rowt[5]))
-                qlc = jnp.stack([rowt[qoff + c] for c in range(w_)])
-                qhc = jnp.stack([rowt[hoff + c] for c in range(w_)])
-
-                def corner(q, sh, g, sc):
-                    fq = ((q >> sh) & 255).astype(jnp.float32) if sh else \
-                        (q & 255).astype(jnp.float32)
-                    return (g[None] + fq * sc[None])[:, :, None]
-
-                lx = corner(qlc, 0, gx, sx); hx = corner(qhc, 0, gx, sx)
-                ly = corner(qlc, 8, gy, sy); hy = corner(qhc, 8, gy, sy)
-                lz = corner(qlc, 16, gz, sz); hz = corner(qhc, 16, gz, sz)
-                t1x = (lx - ox[None]) * ivx[None]
-                t2x = (hx - ox[None]) * ivx[None]
-                t1y = (ly - oy[None]) * ivy[None]
-                t2y = (hy - oy[None]) * ivy[None]
-                t1z = (lz - oz[None]) * ivz[None]
-                t2z = (hz - oz[None]) * ivz[None]
-                tmin = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t1x, t2x),
-                                jnp.minimum(t1y, t2y)),
-                    jnp.minimum(t1z, t2z))
-                tmax = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t1x, t2x),
-                                jnp.maximum(t1y, t2y)),
-                    jnp.maximum(t1z, t2z))
-                hc = (tmax >= tmin) & (tmax > 0.0) & (tmin < best_t[None])
+                hc, tmin = _slab_test(rowt, ox, oy, oz, ivx, ivy, ivz,
+                                      best_t)
                 any_hit = (jnp.any(hc, axis=2)
                            & (jnp.arange(w_, dtype=jnp.int32)[:, None]
                               < nch[None]))
