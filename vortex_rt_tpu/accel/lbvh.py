@@ -305,8 +305,10 @@ def _range_refit(lmin, lmax, lo, hi):
         offs.append(offs[-1] + prev_min.shape[0])
         mins.append(jnp.minimum(prev_min[:m], prev_min[h:h + m]))
         maxs.append(jnp.maximum(prev_max[:m], prev_max[h:h + m]))
-    flat_min = jnp.concatenate(mins)
-    flat_max = jnp.concatenate(maxs)
+    # one (rows, 6) table: the two window reads become 2 gathers
+    # instead of 4 (descriptor count prices the gather, rule 36)
+    flat6 = jnp.concatenate([jnp.concatenate(mins),
+                             jnp.concatenate(maxs)], axis=1)
     off_arr = jnp.asarray(offs, jnp.int32)
 
     length = hi - lo + 1
@@ -314,8 +316,10 @@ def _range_refit(lmin, lmax, lo, hi):
     base = off_arr[k]
     ia = base + lo
     ib = base + hi - (jnp.int32(1) << k) + 1
-    bmin = jnp.minimum(flat_min[ia], flat_min[ib])
-    bmax = jnp.maximum(flat_max[ia], flat_max[ib])
+    wa_ = flat6[ia]
+    wb_ = flat6[ib]
+    bmin = jnp.minimum(wa_[:, 0:3], wb_[:, 0:3])
+    bmax = jnp.maximum(wa_[:, 3:6], wb_[:, 3:6])
     return bmin, bmax
 
 
@@ -503,10 +507,12 @@ def _pack_wide(topo: LBVHTopo, bmin, bmax, l, leaf_size,
                                      topo.base)
         sid_rows = topo.newid[: l - 1]
     # ch_old ids live in the BINARY box space (2l-1 rows of bmin/bmax),
-    # independent of the (possibly compact) output pool size
+    # independent of the (possibly compact) output pool size.  One
+    # (2l-1, 6) row gather instead of two (2l-1, 3) (rule 36)
     ch_s = jnp.clip(ch_old, 0, 2 * l - 2)
-    cmin = bmin[ch_s]          # (l-1, w, 3)
-    cmax = bmax[ch_s]
+    cbox = jnp.concatenate([bmin, bmax], axis=1)[ch_s]   # (S, w, 6)
+    cmin = cbox[..., 0:3]
+    cmax = cbox[..., 3:6]
     present = (ch_old >= 0)[..., None]
     org = jnp.where(present, cmin, jnp.inf).min(1)
     top = jnp.where(present, cmax, -jnp.inf).max(1)
@@ -588,9 +594,14 @@ def _leaf_rows(v0, v1, v2, order, row_lo, row_cnt, l, leaf_size=4,
     idx = jnp.clip(row_lo[:, None] + k[None, :], 0, t - 1)
     tid = order[idx]                            # (l, leaf_size) global ids
     valid = k[None, :] < row_cnt[:, None]
-    sv0 = v0[tid]
-    se1 = v1[tid] - sv0
-    se2 = v2[tid] - sv0
+    # ONE (T, 9) row gather instead of three (T, 3) gathers: gathers
+    # cost per DESCRIPTOR, not per byte (ARCHITECTURE rule 36 — one
+    # (T,3) row gather beats three (T,) streams 1.7x), and the slot
+    # gather runs over l*leaf_size rows — the refit's biggest stream
+    v9 = jnp.concatenate([v0, v1, v2], axis=1)[tid]     # (l, L, 9)
+    sv0 = v9[..., 0:3]
+    se1 = v9[..., 3:6] - sv0
+    se2 = v9[..., 6:9] - sv0
     zero = ~valid[..., None]
     sv0 = jnp.where(zero, 0.0, sv0)
     se1 = jnp.where(zero, 0.0, se1)
@@ -619,10 +630,13 @@ def _tlas_root():
 
 
 def _leaf_boxes(v0, v1, v2, order):
-    """Per-TRIANGLE boxes in sorted order (the Karras leaves)."""
-    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)[order]
-    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)[order]
-    return tmin, tmax
+    """Per-TRIANGLE boxes in sorted order (the Karras leaves).  One
+    (T, 6) row gather instead of two (T, 3) — descriptor count, not
+    bytes, prices the gather (rule 36)."""
+    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+    box6 = jnp.concatenate([tmin, tmax], axis=1)[order]
+    return box6[:, 0:3], box6[:, 3:6]
 
 
 @partial(jax.jit, static_argnames=("leaf_size", "method", "width"))

@@ -317,14 +317,18 @@ def _row_boxes(v0, v1, v2, order, row_tids, row_cnt):
     """(l, 3) min/max box per leaf row from its explicit sorted-slot
     ids (unused rows get an inverted box that never wins a union)."""
     t = v0.shape[0]
-    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)[order]
-    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)[order]
+    # packed (T, 6) box rows: one gather per indirection instead of two
+    # (descriptor count prices the gather — ARCHITECTURE rule 36)
+    box6 = jnp.concatenate(
+        [jnp.minimum(jnp.minimum(v0, v1), v2),
+         jnp.maximum(jnp.maximum(v0, v1), v2)], axis=1)[order]
     lmax = row_tids.shape[1]
     k = jnp.arange(lmax, dtype=jnp.int32)
     valid = k[None, :] < row_cnt[:, None]
     idx = jnp.clip(row_tids, 0, t - 1)
-    bmin = jnp.where(valid[..., None], tmin[idx], _BIG).min(1)
-    bmax = jnp.where(valid[..., None], tmax[idx], -_BIG).max(1)
+    sbox = box6[idx]                               # (l, lmax, 6)
+    bmin = jnp.where(valid[..., None], sbox[..., 0:3], _BIG).min(1)
+    bmax = jnp.where(valid[..., None], sbox[..., 3:6], -_BIG).max(1)
     return bmin, bmax
 
 
@@ -338,9 +342,11 @@ def _rows_from_tids(v0, v1, v2, order, row_tids, row_cnt):
     valid = k[None, :] < row_cnt[:, None]
     slot = jnp.clip(row_tids, 0, t - 1)
     tid = order[slot]                       # global tri ids
-    sv0 = v0[tid]
-    se1 = v1[tid] - sv0
-    se2 = v2[tid] - sv0
+    # one (T, 9) row gather instead of three (T, 3) (rule 36)
+    v9 = jnp.concatenate([v0, v1, v2], axis=1)[tid]
+    sv0 = v9[..., 0:3]
+    se1 = v9[..., 3:6] - sv0
+    se2 = v9[..., 6:9] - sv0
     zero = ~valid[..., None]
     sv0 = jnp.where(zero, 0.0, sv0)
     se1 = jnp.where(zero, 0.0, se1)
