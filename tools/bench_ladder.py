@@ -83,11 +83,11 @@ def _knobs(cfg=None):
         bounce_fronts=getattr(cfg, "bounce_fronts", None),
         lbvh=os.environ.get("VORTEX_RT_LBVH", "ploc"),
     )
-    for env in ("VORTEX_RT_FUSED_ROWS", "VORTEX_RT_LAX_SORT",
-                "VORTEX_RT_ARRAY_STACK", "VORTEX_RT_UNROLL",
-                "VORTEX_RT_SLAB", "VORTEX_RT_FRONTS"):
-        if env in os.environ:
-            k[env] = os.environ[env]
+    # record EVERY live VORTEX_RT_* override (not a fixed list — a row
+    # must be reproducible from the artifact alone)
+    for env, val in sorted(os.environ.items()):
+        if env.startswith("VORTEX_RT_"):
+            k[env] = val
     return k
 
 
